@@ -1,0 +1,363 @@
+"""User-facing SCFGP model: set_data / optimize / predict / fit / save / load.
+
+The TPU-native counterpart of the reference model class (``reference:
+SCFGP/SCFGP.py:21-317``), with identical constructor semantics, training-loop
+behavior (early stopping, stall annealing, best-params tracking —
+``SCFGP.py:225-263``), metric logging, and persistence — re-built around pure
+JAX functions:
+
+  * one jitted training step (loss + grad + optimizer update) replaces the
+    compiled Theano ``train_iter_func`` (``SCFGP.py:136-137``); jit signature
+    caching replaces the reference's explicit compiled-function reuse across
+    model instances (``SCFGP.py:150-151``, ``boston_housing.py:82-88``),
+  * checkpoints store arrays only (params, scaler state, metric history) —
+    compiled code is recovered from the XLA compilation cache, not pickled
+    like the reference's Theano functions (``SCFGP.py:296-310``),
+  * the reference's minibatch path never fed its median aggregate back into
+    training due to a rebinding bug (``SCFGP.py:234``, SURVEY.md §5 quirk 4);
+    here ``nbatches > 1`` implements the *intended* robust median aggregation.
+
+Improvements over the reference API (SURVEY.md §2.3): a one-call
+``fit(X, y, Xv, yv)``, an ``RMSE`` metric, and ``save()`` keeping ``S``/``N``/
+``D`` so loaded models are fully reconstructed (reference dropped ``S``,
+quirk 6).
+"""
+
+from __future__ import annotations
+
+import pickle
+import string
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.scaler import Scaler
+from ..opt.optimizers import make_optimizer, tree_add
+from ..utils.metrics import new_evals_dict, regression_metrics
+from .objective import loss_fn, predict_f, Posterior
+from .params import SCFGPParams, init_params
+
+DEFAULT_OPT = {
+    # Reference defaulting, SCFGP.py:193-202 (adam overrides beta2 to 0.999).
+    "algo": "adam",
+    "algo_params": {"learning_rate": 0.01, "beta1": 0.9, "beta2": 0.999,
+                    "epsilon": 1e-8},
+}
+
+
+class SCFGP:
+    """Sparsely Correlated Fourier features Gaussian Process (TPU-native)."""
+
+    def __init__(self, sparsity: int = 20, nfeats: int = 18, evals=None,
+                 X_scaling_method: str = "auto-inv-normal",
+                 y_scaling_method: str = "auto-normal",
+                 verbose: bool = False, seed: Optional[int] = None,
+                 dtype=None):
+        self.S = sparsity
+        self.M = nfeats
+        self.X_scaler = Scaler(X_scaling_method)
+        self.y_scaler = Scaler(y_scaling_method)
+        self.evals = new_evals_dict() if evals is None else evals
+        self.verbose = verbose
+        self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                               else jnp.float32)
+        self._rng = np.random.RandomState(seed)
+        self.params: Optional[SCFGPParams] = None
+        self.post: Optional[Posterior] = None
+        self.N = self.D = -1
+        self.X = self.y = None
+        self.min_obj_ind = 0
+        self.generate_ID()
+
+    # -- identity / logging --------------------------------------------------
+
+    def generate_ID(self):
+        chars = string.ascii_uppercase + string.digits
+        self.ID = "".join(self._rng.choice(list(chars)) for _ in range(5))
+        self.NAME = "SCFGP (Sparsity=%d, Fourier Features=%d)" % (self.S, self.M)
+
+    def message(self, *arg):
+        if self.verbose:
+            print(" ".join(map(str, arg)))
+            sys.stdout.flush()
+
+    # -- convenience views of the posterior ----------------------------------
+
+    @property
+    def alpha(self):
+        return None if self.post is None else self.post.alpha
+
+    @property
+    def Li(self):
+        return None if self.post is None else self.post.Li
+
+    # -- data ingestion -------------------------------------------------------
+
+    def set_data(self, X, y):
+        """Fit scalers, transform data, (re)initialize params (SCFGP.py:153-170)."""
+        self.message("-" * 60, "\nNormalizing SCFGP training data...")
+        self.X_scaler.fit(X)
+        self.y_scaler.fit(y)
+        self.X = jnp.asarray(self.X_scaler.forward_transform(X), self.dtype)
+        self.y = jnp.asarray(
+            self.y_scaler.forward_transform(np.asarray(y).reshape(-1, 1)),
+            self.dtype).reshape(-1)
+        self.message("done.")
+        self.N, self.D = self.X.shape
+        if self.params is None:
+            self.message("-" * 60, "\nInitializing SCFGP hyperparameters...")
+            key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
+            self.params = init_params(key, self.D, self.S, self.M, self.dtype)
+            self.message("done.")
+        else:
+            _, aux = self._eval_fn()(self.params, self.X, self.y)
+            self.post = aux.post
+
+    # -- compiled functions ---------------------------------------------------
+
+    def _eval_fn(self):
+        """Jitted loss WITHOUT update (reference train_func, SCFGP.py:134-135)."""
+        return _jitted_loss
+
+    def _make_step(self, tx):
+        """Jitted loss + grad + optimizer update (train_iter_func analog)."""
+        def step(params, opt_state, X, y):
+            (cost, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, X, y)
+            delta, opt_state = tx.update(grads, opt_state, params)
+            params = tree_add(params, delta)
+            return params, opt_state, cost, aux.post
+        return jax.jit(step)
+
+    def get_compiled_funcs(self):
+        """Kept for reference-API compatibility; jit caching makes explicit
+        function reuse unnecessary (SCFGP.py:150-151)."""
+        return None
+
+    # -- training -------------------------------------------------------------
+
+    def optimize(self, Xv=None, yv=None, funcs=None, visualizer=None, **args):
+        """Reference-semantics training loop (SCFGP.py:184-276)."""
+        obj = args.get("obj", "COST").upper()
+        obj = obj if obj in self.evals else "COST"
+        algo = args.get("algo") or dict(DEFAULT_OPT)
+        if not isinstance(algo, dict) or algo.get("algo") is None:
+            algo = dict(DEFAULT_OPT)
+        if algo["algo"] not in __import__(
+                "scfgp_tpu.opt.optimizers", fromlist=["algos"]).algos:
+            algo = dict(DEFAULT_OPT)
+        nbatches = args.get("nbatches", 1)
+        batchsize = args.get("batchsize", 150)
+        cvrg_tol = args.get("cvrg_tol", 1e-4)
+        max_cvrg = args.get("max_cvrg", 18)
+        max_iter = args.get("max_iter", 500)
+
+        for metric in self.evals:
+            self.evals[metric][1] = []
+
+        tx = make_optimizer(algo["algo"], algo.get("algo_params"))
+        opt_state = tx.init(self.params)
+        step = self._make_step(tx)
+        eval_fn = self._eval_fn()
+
+        animate = None
+        if visualizer is not None:
+            visualizer.model = self
+            animate = visualizer.train_with_plot()
+
+        if Xv is None or yv is None:
+            obj = "COST"
+        else:
+            Xv_t = jnp.asarray(self.X_scaler.forward_transform(Xv), self.dtype)
+            yv_arr = np.asarray(yv).reshape(-1, 1)
+
+        self.min_obj_ind = 0
+        train_start_time = time.time()
+        min_obj_val = np.inf
+        argmin_params = self.params
+        cvrg_iter = 0
+        for it in range(max_iter):
+            if nbatches > 1:
+                params_list, cost_sum, count = [], 0.0, 0
+                for Xb, yb in self._minibatches(batchsize):
+                    self.params, opt_state, cost, self.post = step(
+                        self.params, opt_state, Xb, yb)
+                    params_list.append(self.params)
+                    cost_sum += float(cost)
+                    count += 1
+                    if count == nbatches:
+                        break
+                # Intended robust aggregation: elementwise median of the
+                # per-batch params (the reference's version never fed back
+                # due to the rebinding bug, SCFGP.py:226-235).
+                self.params = jax.tree.map(
+                    lambda *leaves: jnp.median(jnp.stack(leaves), axis=0),
+                    *params_list)
+                self.evals["COST"][1].append(cost_sum / count)
+            else:
+                self.params, opt_state, cost, self.post = step(
+                    self.params, opt_state, self.X, self.y)
+                self.evals["COST"][1].append(float(cost))
+            self.evals["TIME(s)"][1].append(time.time() - train_start_time)
+            if Xv is not None and yv is not None:
+                self._predict_scaled_and_log(Xv_t, yv_arr)
+            if it % max(max_iter // 10, 1) == 1:
+                self.message("-" * 17, "VALIDATION ITERATION", it, "-" * 17)
+                self._print_current_evals()
+            if animate is not None:
+                animate(it)
+            obj_val = self.evals[obj][1][-1]
+            if obj_val < min_obj_val:
+                if min_obj_val - obj_val < cvrg_tol:
+                    cvrg_iter += 1
+                else:
+                    cvrg_iter = 0
+                min_obj_val = obj_val
+                self.min_obj_ind = len(self.evals["COST"][1]) - 1
+                argmin_params = self.params
+            else:
+                cvrg_iter += 1
+            if it > 30 and cvrg_iter > max_cvrg:
+                break
+            elif cvrg_iter > max_cvrg * 0.5:
+                # Stall annealing: random interpolation toward the best-known
+                # params (SCFGP.py:259-263).
+                randp = self._rng.rand() * cvrg_iter / max_cvrg * 0.5
+                self.params = jax.tree.map(
+                    lambda p, q: (1 - randp) * p + randp * q,
+                    self.params, argmin_params)
+
+        self.params = argmin_params
+        cost, aux = eval_fn(self.params, self.X, self.y)
+        self.post = aux.post
+        self.evals["COST"][1].append(float(cost))
+        self.evals["TIME(s)"][1].append(time.time() - train_start_time)
+        if Xv is not None and yv is not None:
+            self._predict_scaled_and_log(Xv_t, yv_arr)
+        self.min_obj_ind = len(self.evals["COST"][1]) - 1
+        disp = self.verbose
+        self.verbose = True
+        self.message("-" * 19, "OPTIMIZATION RESULT", "-" * 20)
+        self._print_current_evals()
+        self.message("-" * 60)
+        self.verbose = disp
+
+    def fit(self, X, y, Xv=None, yv=None, **opt_params):
+        """One-call train: set_data + optimize (+ final metrics if Xv given).
+
+        The ergonomic entry point the reference's legacy API promised
+        (``reference: README.md:44-52``, SURVEY.md §2.3)."""
+        self.set_data(X, y)
+        self.optimize(Xv, yv, **opt_params)
+        return self
+
+    def _minibatches(self, batchsize, shuffle=True):
+        """Shuffled minibatch generator (SCFGP.py:172-182)."""
+        n = self.X.shape[0]
+        inds = np.arange(n)
+        if shuffle:
+            self._rng.shuffle(inds)
+        for start in range(0, n - batchsize + 1, batchsize):
+            batch = inds[start:start + batchsize]
+            yield self.X[batch], self.y[batch]
+
+    # -- prediction -----------------------------------------------------------
+
+    def _predict_scaled_and_log(self, Xs_t, ys):
+        mu_y, std_y = self._predict_unscale(Xs_t)
+        for k, v in regression_metrics(mu_y, std_y, ys).items():
+            self.evals[k][1].append(v)
+        return mu_y, std_y
+
+    def _predict_unscale(self, Xs_t):
+        """Predict on pre-transformed inputs; un-scale with the half-range std
+        approximation for nonlinear y-scalers (SCFGP.py:281-284)."""
+        mu_f, std_f = _jitted_predict(self.params, self.post, Xs_t)
+        mu_f = np.asarray(mu_f)[:, None]
+        std_f = np.asarray(std_f)[:, None]
+        mu_y = np.asarray(self.y_scaler.backward_transform(mu_f))
+        up = np.asarray(self.y_scaler.backward_transform(mu_f + std_f))
+        dn = np.asarray(self.y_scaler.backward_transform(mu_f - std_f))
+        std_y = 0.5 * (up - dn)
+        return mu_y, std_y
+
+    def predict(self, Xs, ys=None):
+        """Predictive mean/std in original units; logs metrics if ys given
+        (SCFGP.py:278-294)."""
+        Xs_t = jnp.asarray(self.X_scaler.forward_transform(Xs), self.dtype)
+        if ys is not None:
+            return self._predict_scaled_and_log(Xs_t, np.asarray(ys))
+        return self._predict_unscale(Xs_t)
+
+    def _predict_on_scaled(self, Xs):
+        """Scaled-space predictive mean/std on already-transformed inputs —
+        what the reference Visualizer plots (Visualizer.py:35)."""
+        mu, std = _jitted_predict(self.params, self.post,
+                                  jnp.asarray(Xs, self.dtype))
+        return np.asarray(mu).ravel(), np.asarray(std).ravel()
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str):
+        """Checkpoint params + scalers + posterior + history as plain arrays.
+
+        Unlike the reference (which pickled compiled Theano functions,
+        SCFGP.py:296-302), no compiled code is stored; also stores S/N/D,
+        fixing reference quirk 6."""
+        state = {
+            "ID": self.ID, "S": self.S, "M": self.M, "N": self.N, "D": self.D,
+            "X_scaler": self.X_scaler.to_state_dict(),
+            "y_scaler": self.y_scaler.to_state_dict(),
+            "params": None if self.params is None else jax.tree.map(
+                np.asarray, self.params),
+            "post": None if self.post is None else jax.tree.map(
+                np.asarray, self.post),
+            "evals": self.evals,
+            "min_obj_ind": self.min_obj_ind,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f, pickle.HIGHEST_PROTOCOL)
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.ID = state["ID"]
+        self.S, self.M = state["S"], state["M"]
+        self.N, self.D = state["N"], state["D"]
+        self.X_scaler = Scaler.from_state_dict(state["X_scaler"])
+        self.y_scaler = Scaler.from_state_dict(state["y_scaler"])
+        if state["params"] is not None:
+            self.params = jax.tree.map(
+                lambda t: jnp.asarray(t, self.dtype),
+                SCFGPParams(*state["params"]))
+        if state["post"] is not None:
+            self.post = jax.tree.map(
+                lambda t: jnp.asarray(t, self.dtype),
+                Posterior(*state["post"]))
+        self.evals = state["evals"]
+        self.min_obj_ind = state.get("min_obj_ind", 0)
+        self.NAME = "SCFGP (Sparsity=%d, Fourier Features=%d)" % (self.S, self.M)
+        return self
+
+    # -- reporting ------------------------------------------------------------
+
+    def _print_current_evals(self):
+        for metric in sorted(self.evals.keys()):
+            if len(self.evals[metric][1]) < len(self.evals["COST"][1]):
+                continue
+            best = self.evals[metric][1][self.min_obj_ind]
+            self.message(self.NAME, "%7s = %.4e" % (metric, best))
+
+
+@jax.jit
+def _jitted_loss(params, X, y):
+    return loss_fn(params, X, y)
+
+
+@jax.jit
+def _jitted_predict(params, post, Xs):
+    return predict_f(params, post, Xs)

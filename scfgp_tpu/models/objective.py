@@ -1,0 +1,245 @@
+"""Pure-functional SCFGP objective: features, sufficient stats, posterior, NLML.
+
+This re-derives the reference's Theano graph (``reference:
+SCFGP/SCFGP.py:92-148``) as composable pure JAX functions, structured so that
+
+  * the whole objective is one jittable, differentiable function,
+  * every N-dependent term is a **row sum**, so data parallelism is exact:
+    shard rows, compute per-shard partial sums, ``psum`` across the ``data``
+    mesh axis (pass ``axis_name=``), and
+  * the expensive inner ops (feature map, Gram) can be swapped for Pallas
+    kernels without touching the math.
+
+Two deliberate departures from the reference graph — same math, better TPU
+mapping:
+
+1. **Closed-form expected NLL.**  The reference evaluates the per-row expected
+   negative log-likelihood with 30-node Gauss–Hermite quadrature
+   (``SCFGP.py:118-124``) over an integrand that is *quadratic* in the latent
+   function value, so the quadrature is exact and equals the closed form
+
+       E_{f~N(mu, var)}[ (f^2/2 - y f)/dsp + (log(2 pi dsp) + y^2/dsp)/2 ]
+         = ((mu - y)^2/2 + var/2)/dsp + log(2 pi dsp)/2.
+
+   We compute the closed form (validated against the 30-node rule to float64
+   round-off in tests), eliminating an N x 1 x 30 intermediate.
+
+2. **No explicit triangular inverse in the solve path.**  The reference
+   computes ``Li = matrix_inverse(L)`` (``SCFGP.py:107``).  We materialise
+   ``Li`` once per step via a *triangular solve against the identity* on the
+   small 2K x 2K system (K = S + M), then express every N-dimensional
+   quantity (``alpha``, ``var_f``, predictive std) as plain GEMMs against
+   ``Li`` — large matmuls on the MXU instead of N-sized triangular solves.
+
+Numerics note: the ``yTy - beta^T beta`` cancellation (``SCFGP.py:126``) is
+computed in float32 minimum; pass float64 inputs (with x64 enabled) for the
+parity harness.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import SCFGPParams, derive_frequencies
+
+EPSILON = 1e-6  # jitter added to sig2_n, reference SCFGP.py:93,105
+
+
+class SufficientStats(NamedTuple):
+    """Row-sum statistics of one data (shard): everything the posterior needs.
+
+    With ``Phi (N, 2K)`` and per-row weights ``w`` (1 for real rows, 0 for
+    padding), these are exact under row sharding + ``psum`` because each field
+    is a sum over rows (reference terms: ``SCFGP.py:104,108,126``).
+    """
+
+    phiTphi: jax.Array  # (2K, 2K) = Phi^T diag(w) Phi
+    phiTy: jax.Array    # (2K,)    = Phi^T (w * y)
+    yTy: jax.Array      # ()       = sum(w * y^2)
+    n: jax.Array        # ()       = sum(w)  (real row count)
+
+
+class Posterior(NamedTuple):
+    """Weight-space posterior solved from the 2K x 2K system (K = S + M)."""
+
+    L: jax.Array      # (2K, 2K) chol(Phi^T Phi + (sig2_n + eps) I), lower
+    Li: jax.Array     # (2K, 2K) L^{-1}
+    alpha: jax.Array  # (2K,)   posterior weight mean = L^{-T} L^{-1} Phi^T y
+    beta: jax.Array   # (2K,)   = L^{-1} Phi^T y
+    log_diag_L: jax.Array  # (2K,) log of Cholesky diagonal
+
+
+def softplus(x):
+    """log(1 + e^x), overflow-safe (reference uses raw form, SCFGP.py:103)."""
+    return jax.nn.softplus(x)
+
+
+def fourier_features(p: SCFGPParams, X: jax.Array) -> jax.Array:
+    """Fused low-rank trig feature map Phi (N, 2(S+M)).
+
+    Reference: ``SCFGP.py:99-102``.  The S rank-space projections ``X @ l_F``
+    and the M derived projections ``X @ F`` are fused into ONE (D, S+M)
+    matmul; scale is ``sig_f * sqrt(2/M)`` with M (not S+M) exactly as the
+    reference (``SCFGP.py:102``), and phases are mean-centered
+    (``SCFGP.py:88-89``).
+    """
+    d = derive_frequencies(p)
+    sig_f = jnp.exp(p.b)
+    FF = jnp.dot(X, d.Fcat, preferred_element_type=X.dtype) + d.pcat[None, :]
+    Phi = jnp.concatenate([jnp.cos(FF), jnp.sin(FF)], axis=1)
+    return (sig_f * jnp.sqrt(2.0 / p.M)) * Phi
+
+
+def sufficient_stats(Phi: jax.Array, y: jax.Array,
+                     w: Optional[jax.Array] = None) -> SufficientStats:
+    """Accumulate the row-sum statistics (optionally weighted for padding)."""
+    y = y.reshape(-1)
+    if w is None:
+        phiTphi = jnp.dot(Phi.T, Phi, preferred_element_type=Phi.dtype)
+        phiTy = Phi.T @ y
+        yTy = jnp.sum(y * y)
+        n = jnp.asarray(Phi.shape[0], Phi.dtype)
+    else:
+        w = w.reshape(-1).astype(Phi.dtype)
+        Phiw = Phi * w[:, None]
+        phiTphi = jnp.dot(Phi.T, Phiw, preferred_element_type=Phi.dtype)
+        phiTy = Phi.T @ (w * y)
+        yTy = jnp.sum(w * y * y)
+        n = jnp.sum(w)
+    return SufficientStats(phiTphi=phiTphi, phiTy=phiTy, yTy=yTy, n=n)
+
+
+def psum_stats(stats: SufficientStats, axis_name: str) -> SufficientStats:
+    """All-reduce the sufficient statistics across the data mesh axis."""
+    return jax.tree.map(lambda t: jax.lax.psum(t, axis_name), stats)
+
+
+def solve_posterior(stats: SufficientStats, sig2_n: jax.Array,
+                    epsilon: float = EPSILON) -> Posterior:
+    """Cholesky-solve the 2K x 2K normal equations (reference SCFGP.py:105-110).
+
+    Replicated (not sharded): 2K = 2(S+M) is small for all reference configs.
+    """
+    A = stats.phiTphi + (sig2_n + epsilon) * jnp.eye(
+        stats.phiTphi.shape[0], dtype=stats.phiTphi.dtype)
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    beta = Li @ stats.phiTy
+    alpha = Li.T @ beta
+    return Posterior(L=L, Li=Li, alpha=alpha, beta=beta,
+                     log_diag_L=jnp.log(jnp.diagonal(L)))
+
+
+def latent_moments(Phi: jax.Array, post: Posterior):
+    """Per-row posterior mean and variance of the latent f (SCFGP.py:111-112).
+
+    ``var_f = rowsum((Phi @ Li^T)^2)`` — a GEMM against the small Li, MXU-
+    friendly, instead of an N-sized triangular solve.
+    """
+    mu_f = Phi @ post.alpha
+    PhiLiT = jnp.dot(Phi, post.Li.T, preferred_element_type=Phi.dtype)
+    var_f = jnp.sum(PhiLiT * PhiLiT, axis=1)
+    return mu_f, var_f
+
+
+def expected_nll_rows(mu_f: jax.Array, var_f: jax.Array, y: jax.Array,
+                      noise: jax.Array) -> jax.Array:
+    """Closed form of the reference's 30-node Gauss-Hermite expected NLL.
+
+    Exact (quadratic integrand; see module docstring) equivalent of
+    ``SCFGP.py:118-124``; ``dsp = noise * (var_f + 1)`` is ``SCFGP.py:113``.
+    Returns the per-row values (sum over rows outside, so it psums).
+    """
+    y = y.reshape(-1)
+    dsp = noise * (var_f + 1.0)
+    r = mu_f - y
+    return (0.5 * r * r + 0.5 * var_f) / dsp + 0.5 * jnp.log(2.0 * jnp.pi * dsp)
+
+
+class LossAux(NamedTuple):
+    """Side outputs of the loss: the posterior (for prediction) + terms."""
+
+    post: Posterior
+    nlml: jax.Array
+    penalty: jax.Array
+
+
+def kl_penalty(p: SCFGPParams) -> jax.Array:
+    """Moment-matched KL-style regulariser on frequency matrices.
+
+    Reference ``SCFGP.py:94,114-117,127``: ``kl(mu, sig) = sig + mu^2 - log
+    sig`` on the summed row means/stds of ``l_F`` and ``F = l_F r_F^T``.
+    """
+    F = p.l_F @ p.r_F.T
+    kl = lambda mu, sig: sig + mu * mu - jnp.log(sig)
+    mu_l = jnp.sum(jnp.mean(p.l_F, axis=1))
+    sig_l = jnp.sum(jnp.std(p.l_F, axis=1))
+    mu_w = jnp.sum(jnp.mean(F, axis=1))
+    sig_w = jnp.sum(jnp.std(F, axis=1))
+    return (kl(mu_w, sig_w) * p.M + kl(mu_l, sig_l) * p.S) / (p.S + p.M)
+
+
+def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
+            w: Optional[jax.Array] = None,
+            axis_name: Optional[str] = None):
+    """Full SCFGP training objective: ``cost = (nlml + penalty) / N``.
+
+    Mirrors ``SCFGP.py:92-128`` term by term (including the reference's
+    ``2*(N - M)*a`` with M, not S+M — ``SCFGP.py:125-126``).  Differentiable
+    end to end with ``jax.grad``.
+
+    With ``axis_name`` set (inside ``shard_map`` over a data-sharded mesh),
+    the sufficient statistics and the expected-NLL row sum are ``psum``-ed, so
+    the sharded loss is bitwise the same math as single-device full batch.
+
+    Returns ``(cost, LossAux)``; use with ``jax.value_and_grad(..., has_aux=True)``.
+    """
+    y = y.reshape(-1)
+    sig2_n = jnp.exp(2.0 * p.a)
+    noise = softplus(p.c)
+
+    Phi = fourier_features(p, X)
+    stats = sufficient_stats(Phi, y, w)
+    if axis_name is not None:
+        stats = psum_stats(stats, axis_name)
+    post = solve_posterior(stats, sig2_n)
+
+    mu_f, var_f = latent_moments(Phi, post)
+    enll_rows = expected_nll_rows(mu_f, var_f, y, noise)
+    if w is not None:
+        enll_rows = enll_rows * w.reshape(-1).astype(enll_rows.dtype)
+    enll_sum = jnp.sum(enll_rows)
+    if axis_name is not None:
+        enll_sum = jax.lax.psum(enll_sum, axis_name)
+
+    n_total = stats.n
+    nlml = (2.0 * jnp.sum(post.log_diag_L)
+            + 2.0 * enll_sum
+            + (stats.yTy - jnp.sum(post.beta * post.beta)) / sig2_n
+            + 2.0 * (n_total - p.M) * p.a)
+    penalty = kl_penalty(p)
+    cost = (nlml + penalty) / n_total
+    return cost, LossAux(post=post, nlml=nlml, penalty=penalty)
+
+
+def predict_f(p: SCFGPParams, post: Posterior, Xs: jax.Array):
+    """Predictive mean and std of the *scaled* target (SCFGP.py:138-148).
+
+    ``mu* = Phi* alpha``; ``std* = sqrt(noise * (1 + rowsum((Phi* Li^T)^2)))``.
+    """
+    noise = softplus(p.c)
+    Phis = fourier_features(p, Xs)
+    mu = Phis @ post.alpha
+    PhiLiT = jnp.dot(Phis, post.Li.T, preferred_element_type=Phis.dtype)
+    std = jnp.sqrt(noise * (1.0 + jnp.sum(PhiLiT * PhiLiT, axis=1)))
+    return mu, std
+
+
+# Convenience jitted entry points -------------------------------------------
+
+loss_and_grad = jax.value_and_grad(loss_fn, has_aux=True)

@@ -1,0 +1,115 @@
+"""Golden-math parity tests: JAX objective vs NumPy transliteration.
+
+SURVEY.md §4 item 2: NLML value + gradient for fixed small (X, y, theta)
+cross-checked against a float64 transliteration of reference SCFGP.py:92-129.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scfgp_tpu.models.params import (init_params, pack_params, unpack_params,
+                                     num_params)
+from scfgp_tpu.models.objective import (loss_fn, predict_f, fourier_features,
+                                        sufficient_stats, solve_posterior,
+                                        latent_moments, expected_nll_rows)
+from scfgp_tpu.ops.quadrature import expected_nll_rows_gh
+
+from golden_numpy import golden_cost, golden_predict
+
+N, D, S, M = 40, 5, 4, 7
+
+
+def _problem(seed=0, dtype=jnp.float64):
+    rng = np.random.RandomState(seed)
+    X = jnp.asarray(rng.randn(N, D), dtype)
+    y = jnp.asarray(rng.randn(N, 1), dtype)
+    params = init_params(jax.random.PRNGKey(seed), D, S, M, dtype=dtype)
+    return X, y, params
+
+
+def test_pack_unpack_roundtrip():
+    _, _, params = _problem()
+    theta = pack_params(params)
+    assert theta.shape == (num_params(D, S, M),)
+    p2 = unpack_params(theta, D, S, M)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cost_matches_golden_numpy():
+    X, y, params = _problem()
+    cost, aux = loss_fn(params, X, y)
+    theta = np.asarray(pack_params(params), np.float64)
+    ref = golden_cost(theta, np.asarray(X), np.asarray(y), D, S, M)
+    # rtol bounded by the golden's 30-node Gauss-Hermite round-off (~1e-9).
+    np.testing.assert_allclose(float(cost), ref, rtol=1e-8)
+
+
+def test_gradient_matches_finite_differences():
+    X, y, params = _problem(seed=1)
+    Xn, yn = np.asarray(X), np.asarray(y)
+
+    def flat_cost(theta):
+        p = unpack_params(theta, D, S, M)
+        return loss_fn(p, X, y)[0]
+
+    theta0 = pack_params(params)
+    g = jax.grad(flat_cost)(theta0)
+    # Spot-check 12 coordinates against central differences of the golden fn.
+    rng = np.random.RandomState(0)
+    idxs = rng.choice(theta0.shape[0], 12, replace=False)
+    eps = 1e-6
+    t0 = np.asarray(theta0, np.float64)
+    for i in idxs:
+        tp, tm = t0.copy(), t0.copy()
+        tp[i] += eps
+        tm[i] -= eps
+        fd = (golden_cost(tp, Xn, yn, D, S, M)
+              - golden_cost(tm, Xn, yn, D, S, M)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=2e-4, atol=1e-7)
+
+
+def test_closed_form_enll_equals_gauss_hermite():
+    X, y, params = _problem(seed=2)
+    Phi = fourier_features(params, X)
+    stats = sufficient_stats(Phi, y)
+    post = solve_posterior(stats, jnp.exp(2.0 * params.a))
+    mu_f, var_f = latent_moments(Phi, post)
+    noise = jax.nn.softplus(params.c)
+    closed = expected_nll_rows(mu_f, var_f, y, noise)
+    gh = expected_nll_rows_gh(mu_f, var_f, y, noise)
+    np.testing.assert_allclose(np.asarray(closed), np.asarray(gh), rtol=1e-12)
+
+
+def test_predict_matches_golden_numpy():
+    X, y, params = _problem(seed=3)
+    _, aux = loss_fn(params, X, y)
+    Xs = jnp.asarray(np.random.RandomState(9).randn(15, D))
+    mu, std = predict_f(params, aux.post, Xs)
+    theta = np.asarray(pack_params(params), np.float64)
+    mu_ref, std_ref = golden_predict(
+        theta, np.asarray(Xs), D, S, M,
+        np.asarray(aux.post.alpha)[:, None], np.asarray(aux.post.Li))
+    np.testing.assert_allclose(np.asarray(mu), mu_ref.ravel(), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(std), std_ref.ravel(), rtol=1e-9)
+
+
+def test_weighted_rows_equal_padding_invariance():
+    """Zero-weight padded rows must not change the loss (exact-DP guarantee)."""
+    X, y, params = _problem(seed=4)
+    cost0, _ = loss_fn(params, X, y)
+    Xp = jnp.concatenate([X, jnp.ones((8, D), X.dtype) * 3.7], axis=0)
+    yp = jnp.concatenate([y, jnp.full((8, 1), -2.0, y.dtype)], axis=0)
+    w = jnp.concatenate([jnp.ones(N), jnp.zeros(8)])
+    cost1, _ = loss_fn(params, Xp, yp, w=w)
+    np.testing.assert_allclose(float(cost0), float(cost1), rtol=1e-12)
+
+
+def test_float32_close_to_float64():
+    X, y, params = _problem(seed=5)
+    c64, _ = loss_fn(params, X, y)
+    p32 = jax.tree.map(lambda t: t.astype(jnp.float32), params)
+    c32, _ = loss_fn(p32, X.astype(jnp.float32), y.astype(jnp.float32))
+    np.testing.assert_allclose(float(c32), float(c64), rtol=2e-4)
