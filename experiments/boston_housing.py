@@ -1,0 +1,56 @@
+"""Boston housing benchmark: sweep of Fourier feature counts.
+
+Mirrors the reference experiment (``reference:
+experiments/boston_housing/boston_housing.py``): nfeats in {10..50}, S=20,
+adam lr 0.01, <=200 iters with tight convergence (lines 16,23,33-40), best
+model kept by SCORE tournament, per-metric errorbar plots.
+
+Usage: python experiments/boston_housing.py [--quick] [--trials N] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="2 trials x 2 sizes (smoke run)")
+    ap.add_argument("--trials", type=int, default=None,
+                    help="trials per feature size (reference: 50)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from scfgp_tpu.data.datasets import load_boston
+    from scfgp_tpu.utils.experiment import run_sweep
+
+    trials = args.trials or (2 if args.quick else 50)
+    nfeats = [10, 30] if args.quick else [10, 20, 30, 40, 50]
+    opt_params = {
+        # Reference config: adam lr .01, max_iter 200, cvrg_tol 1e-5,
+        # max_cvrg 8 (boston_housing.py:24-40).
+        "algo": {"algo": "adam",
+                 "algo_params": {"learning_rate": 0.01, "beta1": 0.9,
+                                 "beta2": 0.999, "epsilon": 1e-8}},
+        "max_iter": 200,
+        "cvrg_tol": 1e-5,
+        "max_cvrg": 8,
+        "obj": "SCORE",
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "boston_housing")
+    summary = run_sweep("boston_housing", load_boston, nfeats, sparsity=20,
+                        trials=trials, opt_params=opt_params, out_dir=out)
+    print("NMSE means:", summary["metrics"]["NMSE"]["mean"])
+    print("MNLP means:", summary["metrics"]["MNLP"]["mean"])
+    print("data source:", summary["data_source"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""CO2 1-D regression demo with posterior-band visualization.
+
+Mirrors ``reference: experiments/co2/CO2_1d_regression.py``: S=100, m=50,
+adamax lr 0.05 beta1 0.8, obj='cost', max_iter 1000 (lines 14-35), with the
+live matplotlib animation replaced by offline posterior-band rendering.
+
+Usage: python experiments/co2.py [--quick] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from scfgp_tpu import SCFGP, Visualizer
+    from scfgp_tpu.data.datasets import load_co2
+
+    Xt, yt, Xv, yv, meta = load_co2(seed=0)
+    sparsity, nfeats = (20, 20) if args.quick else (100, 50)
+    max_iter = 150 if args.quick else 1000
+    model = SCFGP(sparsity=sparsity, nfeats=nfeats, seed=0, verbose=True)
+    model.fit(Xt, yt, Xv, yv,
+              obj="cost",
+              algo={"algo": "adamax",
+                    "algo_params": {"learning_rate": 0.05, "beta1": 0.8,
+                                    "beta2": 0.999, "epsilon": 1e-8}},
+              nbatches=1, cvrg_tol=1e-5, max_cvrg=8, max_iter=max_iter)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "co2")
+    os.makedirs(out, exist_ok=True)
+    viz = Visualizer()
+    viz.model = model
+    viz.save(os.path.join(out, "posterior_bands.png"))
+    model.save(os.path.join(out, "co2_model.pkl"))
+    print("NMSE:", model.evals["NMSE"][1][model.min_obj_ind])
+    print("MNLP:", model.evals["MNLP"][1][model.min_obj_ind])
+    print("plot:", os.path.join(out, "posterior_bands.png"))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,8 @@ def softplus(x):
     return jax.nn.softplus(x)
 
 
-def fourier_features(p: SCFGPParams, X: jax.Array) -> jax.Array:
+def fourier_features(p: SCFGPParams, X: jax.Array,
+                     impl: str = "xla") -> jax.Array:
     """Fused low-rank trig feature map Phi (N, 2(S+M)).
 
     Reference: ``SCFGP.py:99-102``.  The S rank-space projections ``X @ l_F``
@@ -86,12 +87,19 @@ def fourier_features(p: SCFGPParams, X: jax.Array) -> jax.Array:
     matmul; scale is ``sig_f * sqrt(2/M)`` with M (not S+M) exactly as the
     reference (``SCFGP.py:102``), and phases are mean-centered
     (``SCFGP.py:88-89``).
+
+    ``impl='pallas'`` selects the fused TPU kernel
+    (``scfgp_tpu.ops.phi.fourier_features_pallas``): projection stays in VMEM,
+    cos/sin written directly to the output block, custom VJP for the params.
     """
     d = derive_frequencies(p)
-    sig_f = jnp.exp(p.b)
+    scale = jnp.exp(p.b) * jnp.sqrt(2.0 / p.M)
+    if impl == "pallas":
+        from ..ops.phi import fourier_features_pallas
+        return fourier_features_pallas(X, d.Fcat, d.pcat, scale)
     FF = jnp.dot(X, d.Fcat, preferred_element_type=X.dtype) + d.pcat[None, :]
     Phi = jnp.concatenate([jnp.cos(FF), jnp.sin(FF)], axis=1)
-    return (sig_f * jnp.sqrt(2.0 / p.M)) * Phi
+    return scale * Phi
 
 
 def sufficient_stats(Phi: jax.Array, y: jax.Array,
@@ -186,7 +194,8 @@ def kl_penalty(p: SCFGPParams) -> jax.Array:
 
 def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
             w: Optional[jax.Array] = None,
-            axis_name: Optional[str] = None):
+            axis_name: Optional[str] = None,
+            feature_impl: str = "xla"):
     """Full SCFGP training objective: ``cost = (nlml + penalty) / N``.
 
     Mirrors ``SCFGP.py:92-128`` term by term (including the reference's
@@ -203,7 +212,7 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
     sig2_n = jnp.exp(2.0 * p.a)
     noise = softplus(p.c)
 
-    Phi = fourier_features(p, X)
+    Phi = fourier_features(p, X, impl=feature_impl)
     stats = sufficient_stats(Phi, y, w)
     if axis_name is not None:
         stats = psum_stats(stats, axis_name)
@@ -227,13 +236,14 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
     return cost, LossAux(post=post, nlml=nlml, penalty=penalty)
 
 
-def predict_f(p: SCFGPParams, post: Posterior, Xs: jax.Array):
+def predict_f(p: SCFGPParams, post: Posterior, Xs: jax.Array,
+              feature_impl: str = "xla"):
     """Predictive mean and std of the *scaled* target (SCFGP.py:138-148).
 
     ``mu* = Phi* alpha``; ``std* = sqrt(noise * (1 + rowsum((Phi* Li^T)^2)))``.
     """
     noise = softplus(p.c)
-    Phis = fourier_features(p, Xs)
+    Phis = fourier_features(p, Xs, impl=feature_impl)
     mu = Phis @ post.alpha
     PhiLiT = jnp.dot(Phis, post.Li.T, preferred_element_type=Phis.dtype)
     std = jnp.sqrt(noise * (1.0 + jnp.sum(PhiLiT * PhiLiT, axis=1)))

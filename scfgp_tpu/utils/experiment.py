@@ -1,0 +1,98 @@
+"""Model-selection sweep harness shared by the benchmark experiments.
+
+Re-creates the reference experiment shape (``reference:
+experiments/boston_housing/boston_housing.py``): for each feature size, run
+R independent trials on fresh random splits, track the best model by SCORE,
+persist it, and emit per-metric errorbar plots (mean ± std over trials —
+``boston_housing.py:108-128``).
+
+Compiled-function reuse across trials (``boston_housing.py:82-88``,
+``SCFGP.py:150-151``) falls out of jax.jit signature caching: the second
+trial with the same (N, D, S, M) hits the cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Sequence
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..models.model import SCFGP
+
+PLOT_METRICS = ("MAE", "NMAE", "MSE", "NMSE", "RMSE", "MNLP", "SCORE",
+                "TIME(s)")
+
+
+def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
+              sparsity: int, trials: int, opt_params: dict,
+              out_dir: str, seed0: int = 0, verbose: bool = False) -> dict:
+    """Sweep feature sizes x trials; returns summary and writes artifacts.
+
+    Artifacts in ``out_dir``: ``best_model.pkl`` (SCORE tournament winner,
+    reference ``boston_housing.py:90-102``), ``results.json`` (per-config
+    metric mean/std), ``plots/<metric>.png`` errorbar plots.
+    """
+    os.makedirs(os.path.join(out_dir, "plots"), exist_ok=True)
+    results = {m: {"mean": [], "std": []} for m in PLOT_METRICS}
+    best_score = np.inf
+    summary_meta = None
+
+    for nfeats in nfeats_choices:
+        per_trial = {m: [] for m in PLOT_METRICS}
+        for rep in range(trials):
+            Xt, yt, Xv, yv, meta = loader(seed=seed0 + rep)
+            summary_meta = meta
+            model = SCFGP(sparsity=sparsity, nfeats=int(nfeats),
+                          seed=seed0 + rep, verbose=verbose)
+            t0 = time.time()
+            model.fit(Xt, yt, Xv, yv, **opt_params)
+            ix = model.min_obj_ind
+            for m in PLOT_METRICS:
+                series = model.evals[m][1]
+                per_trial[m].append(series[min(ix, len(series) - 1)])
+            score = model.evals["SCORE"][1][min(ix, len(model.evals["SCORE"][1]) - 1)]
+            if score < best_score:
+                best_score = score
+                model.save(os.path.join(out_dir, "best_model.pkl"))
+            print(f"[{name}] m={nfeats} trial={rep + 1}/{trials} "
+                  f"SCORE={score:.4f} ({time.time() - t0:.1f}s)", flush=True)
+        for m in PLOT_METRICS:
+            results[m]["mean"].append(float(np.mean(per_trial[m])))
+            results[m]["std"].append(float(np.std(per_trial[m])))
+
+    summary = {
+        "name": name,
+        "data_source": summary_meta.get("source") if summary_meta else None,
+        "nfeats_choices": list(map(int, nfeats_choices)),
+        "sparsity": sparsity,
+        "trials": trials,
+        "best_score": float(best_score),
+        "metrics": results,
+    }
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    _plot_sweep(name, nfeats_choices, results, os.path.join(out_dir, "plots"))
+    return summary
+
+
+def _plot_sweep(name, nfeats_choices, results, plot_dir):
+    """Errorbar plot per metric vs feature size (boston_housing.py:108-128)."""
+    for m, series in results.items():
+        fig = plt.figure(figsize=(8, 5), facecolor="white")
+        ax = fig.add_subplot(111)
+        ax.errorbar(list(nfeats_choices), series["mean"], yerr=series["std"],
+                    fmt="-o", capsize=4)
+        ax.set_xlabel("Number of Fourier features")
+        ax.set_ylabel(m)
+        ax.set_title(f"{name}: {m} vs feature size")
+        fname = m.lower().replace("(", "").replace(")", "")
+        fig.savefig(os.path.join(plot_dir, f"{fname}.png"), dpi=110,
+                    bbox_inches="tight")
+        plt.close(fig)
