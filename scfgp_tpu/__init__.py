@@ -17,6 +17,8 @@ from .models.objective import (SufficientStats, Posterior, fourier_features,
 from .data.scaler import Scaler
 from .models.model import SCFGP
 from .utils.visualizer import Visualizer
+from .bayes import (hmc_sample, nuts_sample, fit_vi, vi_sample,
+                    make_logposterior, predictive_mixture)
 
 __version__ = "0.1.0"
 

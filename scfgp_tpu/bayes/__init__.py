@@ -1,0 +1,4 @@
+from .hmc import hmc_sample, HMCResult
+from .nuts import nuts_sample, NUTSResult
+from .vi import fit_vi, vi_sample, VIResult
+from .predictive import make_logposterior, predictive_mixture

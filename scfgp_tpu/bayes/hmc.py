@@ -1,0 +1,185 @@
+"""Chain-parallel Hamiltonian Monte Carlo over SCFGP hyperparameters.
+
+New capability beyond the reference (which is MAP-only — its sole Bayesian
+element is the KL penalty, ``reference: SCFGP/SCFGP.py:94,114-117,127``;
+SURVEY.md §2.4 "chain parallel").  TPU-native design:
+
+  * the target is the flat hyperparameter vector (``pack_params`` layout), so
+    one ``(chains, P)`` position tensor drives everything;
+  * chains are ``vmap``-ed — on one chip they batch through the MXU together
+    (C parallel NLML evaluations share every matmul), and the chain axis can
+    be sharded across devices with ``NamedSharding`` so the same code runs
+    chain-parallel on a pod slice;
+  * step size is adapted by dual averaging driven by the MEAN acceptance
+    probability across ALL chains (``jnp.mean`` over the chain axis — under
+    a sharded chain axis XLA lowers it to a cross-chip all-reduce, which is
+    the "cross-chain adaptation via collectives" design), and a shared
+    diagonal mass matrix is estimated by Welford accumulation over all
+    chains' warmup draws;
+  * everything is ``lax.scan``-stepped inside one jit: no per-iteration host
+    round trips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DualAveragingState(NamedTuple):
+    """Nesterov dual averaging for log step size (Hoffman & Gelman 2014)."""
+
+    log_eps: jax.Array
+    log_eps_avg: jax.Array
+    h_avg: jax.Array
+    t: jax.Array
+    mu: jax.Array
+
+
+def da_init(eps0: float, dtype=jnp.float32) -> DualAveragingState:
+    log_eps0 = jnp.log(jnp.asarray(eps0, dtype))
+    return DualAveragingState(
+        log_eps=log_eps0,
+        log_eps_avg=log_eps0,
+        h_avg=jnp.zeros((), dtype),
+        t=jnp.zeros((), dtype),
+        mu=(jnp.log(10.0) + log_eps0).astype(dtype),
+    )
+
+
+def da_update(state: DualAveragingState, accept_prob: jax.Array,
+              target: float = 0.8, gamma: float = 0.05, t0: float = 10.0,
+              kappa: float = 0.75) -> DualAveragingState:
+    t = state.t + 1.0
+    h_avg = (1.0 - 1.0 / (t + t0)) * state.h_avg + (
+        target - accept_prob) / (t + t0)
+    log_eps = state.mu - jnp.sqrt(t) / gamma * h_avg
+    eta = t ** (-kappa)
+    log_eps_avg = eta * log_eps + (1.0 - eta) * state.log_eps_avg
+    return DualAveragingState(log_eps, log_eps_avg, h_avg, t, state.mu)
+
+
+class WelfordState(NamedTuple):
+    count: jax.Array
+    mean: jax.Array
+    m2: jax.Array
+
+
+def welford_init(dim: int, dtype=jnp.float32) -> WelfordState:
+    return WelfordState(jnp.zeros((), dtype), jnp.zeros(dim, dtype),
+                        jnp.zeros(dim, dtype))
+
+
+def welford_add_batch(state: WelfordState, xs: jax.Array) -> WelfordState:
+    """Add a (chains, P) batch of draws (all chains feed ONE shared mass)."""
+    def add_one(st, x):
+        count = st.count + 1.0
+        delta = x - st.mean
+        mean = st.mean + delta / count
+        m2 = st.m2 + delta * (x - mean)
+        return WelfordState(count, mean, m2), None
+    state, _ = jax.lax.scan(add_one, state, xs)
+    return state
+
+
+def welford_variance(state: WelfordState, reg: float = 1e-3) -> jax.Array:
+    var = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    # Stan-style shrinkage toward unit scale for small sample counts.
+    w = state.count / (state.count + 5.0)
+    return w * var + (1.0 - w) * reg
+
+
+def leapfrog(logdensity_grad: Callable, position, momentum, eps, inv_mass,
+             num_steps: int):
+    """Standard leapfrog integrator; position/momentum are (chains, P)."""
+    def body(carry, _):
+        q, p = carry
+        _, g = logdensity_grad(q)
+        p = p + 0.5 * eps * g
+        q = q + eps * inv_mass[None, :] * p
+        _, g = logdensity_grad(q)
+        p = p + 0.5 * eps * g
+        return (q, p), None
+    (q, p), _ = jax.lax.scan(body, (position, momentum), None,
+                             length=num_steps)
+    return q, p
+
+
+class HMCResult(NamedTuple):
+    samples: jax.Array       # (num_samples, chains, P)
+    logdensities: jax.Array  # (num_samples, chains)
+    accept_rate: jax.Array   # ()
+    step_size: jax.Array     # ()
+    inv_mass: jax.Array      # (P,)
+
+
+def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
+               key: jax.Array, num_warmup: int = 500, num_samples: int = 500,
+               num_integration_steps: int = 16, init_step_size: float = 0.01,
+               target_accept: float = 0.8) -> HMCResult:
+    """Run C chains of HMC with shared warmup adaptation; fully jitted.
+
+    ``init_positions``: (chains, P); ``logdensity_fn``: (P,) -> scalar.
+    """
+    C, P = init_positions.shape
+    vg = jax.vmap(jax.value_and_grad(logdensity_fn))
+
+    def ld_grad(q):
+        return vg(q)
+
+    def kinetic(p, inv_mass):
+        return 0.5 * jnp.sum(p * p * inv_mass[None, :], axis=1)
+
+    def transition(q, key, eps, inv_mass):
+        k1, k2 = jax.random.split(key)
+        mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
+        p0 = jax.random.normal(k1, q.shape, q.dtype) * mass_sqrt[None, :]
+        ld0, _ = ld_grad(q)
+        h0 = -ld0 + kinetic(p0, inv_mass)
+        q1, p1 = leapfrog(ld_grad, q, p0, eps, inv_mass,
+                          num_integration_steps)
+        ld1, _ = ld_grad(q1)
+        h1 = -ld1 + kinetic(p1, inv_mass)
+        log_accept = jnp.minimum(0.0, h0 - h1)
+        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
+        u = jax.random.uniform(k2, (C,))
+        accept = jnp.log(u) < log_accept
+        q_next = jnp.where(accept[:, None], q1, q)
+        ld_next = jnp.where(accept, ld1, ld0)
+        return q_next, ld_next, jnp.exp(log_accept)
+
+    # -- warmup: adapt eps (dual averaging on mean accept) + mass (Welford) --
+    def warmup_step(carry, key):
+        q, da, wf = carry
+        eps = jnp.exp(da.log_eps)
+        inv_mass = welford_variance(wf)
+        q, ld, acc = transition(q, key, eps, inv_mass)
+        # Mean acceptance across chains: the cross-chain collective.
+        da = da_update(da, jnp.mean(acc), target=target_accept)
+        wf = welford_add_batch(wf, q)
+        return (q, da, wf), None
+
+    dtype = init_positions.dtype
+    keys = jax.random.split(key, num_warmup + num_samples + 1)
+    wf0 = welford_init(P, dtype)
+    # Seed the mass estimate at unit variance until draws accumulate.
+    wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
+    (q, da, wf), _ = jax.lax.scan(
+        warmup_step, (init_positions, da_init(init_step_size, dtype), wf0),
+        keys[:num_warmup])
+
+    eps = jnp.exp(da.log_eps_avg)
+    inv_mass = welford_variance(wf)
+
+    # -- sampling ------------------------------------------------------------
+    def sample_step(q, key):
+        q, ld, acc = transition(q, key, eps, inv_mass)
+        return q, (q, ld, jnp.mean(acc))
+
+    q, (samples, lds, accs) = jax.lax.scan(
+        sample_step, q, keys[num_warmup:num_warmup + num_samples])
+    return HMCResult(samples=samples, logdensities=lds,
+                     accept_rate=jnp.mean(accs), step_size=eps,
+                     inv_mass=inv_mass)

@@ -1,0 +1,291 @@
+"""No-U-Turn Sampler (iterative, multinomial), chain-parallel on TPU.
+
+Implements NUTS with multinomial progressive sampling and the generalized
+U-turn criterion, in the *iterative* formulation (Phan & Hoffman's
+iterative-NUTS scheme): subtrees are built leaf by leaf with a
+checkpoint stack of size ``max_depth`` for the O(log L) internal U-turn
+checks, so the whole transition is ``lax.while_loop``/``fori_loop`` control
+flow — jittable, ``vmap``-able over chains (per-chain dynamic trajectory
+lengths become masked lanes), and shardable over a chain mesh axis.
+
+Checkpoint-stack discipline (derived in-code): processing leaves
+``n = 0..2^j-1`` of a subtree, an even ``n`` pushes one checkpoint
+``(r_n, csum_{n-1})``; an odd ``n`` with ``t`` trailing one-bits closes ``t``
+binary blocks whose start checkpoints are exactly the top ``t`` stack
+entries (checked innermost-out), after which ``t - 1`` entries are dead and
+popped.  Block ``[s, n]`` turns when ``dot(csum_n - csum_{s-1}, v)`` is
+non-positive for the velocity ``v = inv_mass * r`` at either block end.
+
+Step-size warmup shares the HMC dual-averaging machinery, driven by the mean
+acceptance statistic across all chains (a cross-chip collective when the
+chain axis is sharded); the diagonal mass matrix is Welford-estimated from
+all chains' warmup draws.
+
+New capability beyond the MAP-only reference (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import (DualAveragingState, da_init, da_update, welford_init,
+                  welford_add_batch, welford_variance, WelfordState,
+                  HMCResult)
+
+MAX_DELTA_ENERGY = 1000.0
+
+
+class _TreeState(NamedTuple):
+    z_minus: jax.Array
+    r_minus: jax.Array
+    z_plus: jax.Array
+    r_plus: jax.Array
+    z_prop: jax.Array       # current multinomial proposal
+    ld_prop: jax.Array      # its log density
+    log_weight: jax.Array   # logsumexp of leaf weights in the trajectory
+    sum_r: jax.Array        # total momentum sum over trajectory
+    sum_accept: jax.Array   # sum of per-leaf accept probs (for adaptation)
+    num_leaves: jax.Array
+    depth: jax.Array
+    turning: jax.Array
+    diverging: jax.Array
+
+
+def _leapfrog_1(ld_grad, z, r, eps_signed, inv_mass):
+    _, g = ld_grad(z)
+    r = r + 0.5 * eps_signed * g
+    z = z + eps_signed * inv_mass * r
+    ld, g = ld_grad(z)
+    r = r + 0.5 * eps_signed * g
+    return z, r, ld
+
+
+def _is_turning(sum_r, r_a, r_b, inv_mass):
+    return jnp.logical_or(
+        jnp.sum(sum_r * inv_mass * r_a) <= 0.0,
+        jnp.sum(sum_r * inv_mass * r_b) <= 0.0)
+
+
+def _count_trailing_ones(n):
+    """Number of trailing 1-bits of int32 n (vector-friendly)."""
+    # n ^ (n+1) has bits 0..t set, where t = trailing ones count.
+    x = jnp.bitwise_xor(n, n + 1)  # == 2^(t+1) - 1
+    # popcount via bit tricks on int32
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return ((x * 0x01010101) >> 24) - 1  # popcount(2^(t+1)-1) = t+1
+
+
+def _build_subtree(ld_grad, edge_z, edge_r, depth, eps_signed, inv_mass, h0,
+                   key, max_depth):
+    """Iteratively build a 2^depth-leaf subtree from (edge_z, edge_r).
+
+    Returns (ok, z_end, r_end, z_prop, ld_prop, log_weight, sum_r,
+    sum_accept, num_leaves).  ``ok`` is False on internal U-turn/divergence.
+    """
+    P = edge_z.shape[0]
+    num_leaves = jnp.int32(1) << depth
+
+    # Checkpoint stacks (static size = max_depth + 1).
+    r_ck = jnp.zeros((max_depth + 1, P), edge_r.dtype)
+    csum_ck = jnp.zeros((max_depth + 1, P), edge_r.dtype)
+
+    dt = edge_z.dtype
+    init = dict(
+        n=jnp.int32(0), sp=jnp.int32(0),
+        z=edge_z, r=edge_r, ld=jnp.zeros((), dt),
+        csum=jnp.zeros(P, edge_r.dtype),
+        z_prop=edge_z, ld_prop=jnp.asarray(-jnp.inf, dt),
+        log_w=jnp.asarray(-jnp.inf, dt),
+        sum_acc=jnp.zeros((), dt), r_ck=r_ck, csum_ck=csum_ck,
+        bad=jnp.bool_(False), key=key,
+    )
+
+    def cond(s):
+        return jnp.logical_and(s["n"] < num_leaves,
+                               jnp.logical_not(s["bad"]))
+
+    def body(s):
+        z, r, ld = _leapfrog_1(ld_grad, s["z"], s["r"], eps_signed, inv_mass)
+        energy = -ld + 0.5 * jnp.sum(r * r * inv_mass)
+        delta = energy - h0  # h0 = energy at trajectory start
+        diverging = jnp.logical_or(~jnp.isfinite(delta),
+                                   delta > MAX_DELTA_ENERGY)
+        log_w_leaf = jnp.where(diverging, -jnp.inf, -delta).astype(s["log_w"].dtype)
+        accept = jnp.where(diverging, 0.0,
+                           jnp.minimum(1.0, jnp.exp(-delta))).astype(s["sum_acc"].dtype)
+
+        # Progressive multinomial proposal within the subtree.
+        key, ku = jax.random.split(s["key"])
+        log_w_new = jnp.logaddexp(s["log_w"], log_w_leaf)
+        take = jnp.log(jax.random.uniform(ku)) < (log_w_leaf - log_w_new)
+        z_prop = jnp.where(take, z, s["z_prop"])
+        ld_prop = jnp.where(take, ld, s["ld_prop"])
+
+        n = s["n"]
+        csum = s["csum"] + r
+
+        # Push checkpoint (r_n, csum_before) at even leaf indices.
+        even = (n % 2) == 0
+        sp = s["sp"]
+        r_ck = jnp.where(even, s["r_ck"].at[sp].set(r), s["r_ck"])
+        csum_ck = jnp.where(even, s["csum_ck"].at[sp].set(s["csum"]),
+                            s["csum_ck"])
+        sp = jnp.where(even, sp + 1, sp)
+
+        # At odd n: check the top t completed blocks, then pop t-1.
+        t = jnp.where(even, 0, _count_trailing_ones(n))
+
+        def check_block(i, turning):
+            idx = sp - 1 - i
+            valid = i < t
+            blk_sum = csum - csum_ck[idx]
+            turn = _is_turning(blk_sum, r_ck[idx], r, inv_mass)
+            return jnp.logical_or(turning, jnp.logical_and(valid, turn))
+
+        turning = jax.lax.fori_loop(0, max_depth + 1, check_block,
+                                    jnp.bool_(False))
+        sp = jnp.where(t > 0, sp - (t - 1), sp)
+
+        bad = jnp.logical_or(diverging, turning)
+        return dict(n=n + 1, sp=sp, z=z, r=r, ld=ld, csum=csum,
+                    z_prop=z_prop, ld_prop=ld_prop, log_w=log_w_new,
+                    sum_acc=s["sum_acc"] + accept, r_ck=r_ck,
+                    csum_ck=csum_ck, bad=bad, key=key)
+
+    out = jax.lax.while_loop(cond, body, init)
+    ok = jnp.logical_not(out["bad"])
+    return (ok, out["z"], out["r"], out["z_prop"], out["ld_prop"],
+            out["log_w"], out["csum"], out["sum_acc"],
+            jnp.asarray(num_leaves, edge_z.dtype))
+
+
+def _nuts_transition(ld_grad, z0, key, eps, inv_mass, max_depth):
+    """One NUTS transition for a single chain; vmap over chains outside."""
+    P = z0.shape[0]
+    k_mom, k_loop = jax.random.split(key)
+    mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
+    r0 = jax.random.normal(k_mom, (P,), z0.dtype) * mass_sqrt
+    ld0, _ = ld_grad(z0)
+    h0 = -ld0 + 0.5 * jnp.sum(r0 * r0 * inv_mass)
+
+    dt = z0.dtype
+    tree = _TreeState(
+        z_minus=z0, r_minus=r0, z_plus=z0, r_plus=r0,
+        z_prop=z0, ld_prop=ld0.astype(dt), log_weight=jnp.zeros((), dt),
+        sum_r=r0, sum_accept=jnp.zeros((), dt), num_leaves=jnp.ones((), dt),
+        depth=jnp.int32(0), turning=jnp.bool_(False),
+        diverging=jnp.bool_(False))
+
+    def cond(carry):
+        tree, _ = carry
+        return jnp.logical_and(
+            tree.depth < max_depth,
+            jnp.logical_not(jnp.logical_or(tree.turning, tree.diverging)))
+
+    def body(carry):
+        tree, key = carry
+        key, k_dir, k_sub, k_merge = jax.random.split(key, 4)
+        go_right = jax.random.bernoulli(k_dir)
+        eps_signed = jnp.where(go_right, eps, -eps)
+        edge_z = jnp.where(go_right, tree.z_plus, tree.z_minus)
+        edge_r = jnp.where(go_right, tree.r_plus, tree.r_minus)
+
+        (ok, z_end, r_end, z_prop_s, ld_prop_s, log_w_s, sum_r_s,
+         sum_acc_s, leaves_s) = _build_subtree(
+            ld_grad, edge_z, edge_r, tree.depth, eps_signed, inv_mass, h0,
+            k_sub, max_depth)
+
+        # Merge only when the subtree is valid (multinomial NUTS: a broken
+        # doubling is discarded wholesale and the trajectory ends).
+        z_plus = jnp.where(go_right & ok, z_end, tree.z_plus)
+        r_plus = jnp.where(go_right & ok, r_end, tree.r_plus)
+        z_minus = jnp.where((~go_right) & ok, z_end, tree.z_minus)
+        r_minus = jnp.where((~go_right) & ok, r_end, tree.r_minus)
+
+        # Biased progressive sampling between old trajectory and subtree.
+        take = jnp.log(jax.random.uniform(k_merge)) < (
+            log_w_s - tree.log_weight)
+        take = jnp.logical_and(take, ok)
+        z_prop = jnp.where(take, z_prop_s, tree.z_prop)
+        ld_prop = jnp.where(take, ld_prop_s, tree.ld_prop).astype(tree.ld_prop.dtype)
+        log_weight = jnp.where(ok, jnp.logaddexp(tree.log_weight, log_w_s),
+                               tree.log_weight)
+        sum_r = jnp.where(ok, tree.sum_r + sum_r_s, tree.sum_r)
+
+        turning_total = jnp.where(
+            ok, _is_turning(sum_r, r_minus, r_plus, inv_mass), tree.turning)
+
+        new_tree = _TreeState(
+            z_minus=z_minus, r_minus=r_minus, z_plus=z_plus, r_plus=r_plus,
+            z_prop=z_prop, ld_prop=ld_prop, log_weight=log_weight,
+            sum_r=sum_r,
+            sum_accept=tree.sum_accept + sum_acc_s.astype(tree.sum_accept.dtype),
+            num_leaves=tree.num_leaves + leaves_s.astype(tree.num_leaves.dtype),
+            depth=tree.depth + 1,
+            turning=jnp.logical_or(turning_total, ~ok),
+            diverging=jnp.logical_and(~ok, jnp.bool_(False)) | tree.diverging)
+        return new_tree, key
+
+    tree, _ = jax.lax.while_loop(cond, body, (tree, k_loop))
+    accept_stat = tree.sum_accept / jnp.maximum(tree.num_leaves - 1.0, 1.0)
+    return tree.z_prop, tree.ld_prop, accept_stat, tree.depth
+
+
+class NUTSResult(NamedTuple):
+    samples: jax.Array       # (num_samples, chains, P)
+    logdensities: jax.Array  # (num_samples, chains)
+    accept_rate: jax.Array
+    step_size: jax.Array
+    inv_mass: jax.Array
+    mean_depth: jax.Array
+
+
+def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
+                key: jax.Array, num_warmup: int = 500,
+                num_samples: int = 500, max_depth: int = 8,
+                init_step_size: float = 0.01,
+                target_accept: float = 0.8) -> NUTSResult:
+    """Run C chains of NUTS with shared cross-chain warmup adaptation."""
+    C, P = init_positions.shape
+    vg = jax.value_and_grad(logdensity_fn)
+
+    def transition_all(q, key, eps, inv_mass):
+        keys = jax.random.split(key, C)
+        return jax.vmap(
+            lambda z, k: _nuts_transition(vg, z, k, eps, inv_mass, max_depth)
+        )(q, keys)
+
+    def warmup_step(carry, key):
+        q, da, wf = carry
+        eps = jnp.exp(da.log_eps)
+        inv_mass = welford_variance(wf)
+        q, ld, acc, depth = transition_all(q, key, eps, inv_mass)
+        da = da_update(da, jnp.mean(acc), target=target_accept)
+        wf = welford_add_batch(wf, q)
+        return (q, da, wf), None
+
+    dtype = init_positions.dtype
+    keys = jax.random.split(key, num_warmup + num_samples + 1)
+    wf0 = welford_init(P, dtype)
+    wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
+    (q, da, wf), _ = jax.lax.scan(
+        warmup_step, (init_positions, da_init(init_step_size, dtype), wf0),
+        keys[:num_warmup])
+
+    eps = jnp.exp(da.log_eps_avg)
+    inv_mass = welford_variance(wf)
+
+    def sample_step(q, key):
+        q, ld, acc, depth = transition_all(q, key, eps, inv_mass)
+        return q, (q, ld, jnp.mean(acc), jnp.mean(depth.astype(jnp.float32)))
+
+    q, (samples, lds, accs, depths) = jax.lax.scan(
+        sample_step, q, keys[num_warmup:num_warmup + num_samples])
+    return NUTSResult(samples=samples, logdensities=lds,
+                      accept_rate=jnp.mean(accs), step_size=eps,
+                      inv_mass=inv_mass, mean_depth=jnp.mean(depths))

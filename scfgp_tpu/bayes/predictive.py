@@ -1,0 +1,55 @@
+"""Posterior-predictive utilities: mix predictions over hyperparameter draws.
+
+Given samples of the flat hyperparameter vector (from HMC/NUTS/VI), each
+sample theta_s defines a weight-space posterior (alpha_s, Li_s) through the
+training data; the predictive mixture is
+
+    mu*  = mean_s mu_s(x)
+    var* = mean_s [var_s(x)] + var_s over samples [mu_s(x)]
+
+(the law of total variance).  The per-sample solves and predictions are
+vmapped — S samples share every Gram/Cholesky/GEMM batch on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.objective import loss_fn, predict_f
+from ..models.params import unpack_params
+
+
+def make_logposterior(X, y, D, S, M, temperature: float = 1.0):
+    """log p(theta | data) up to a constant: -(nlml + penalty)/2.
+
+    The reference's training cost is (nlml + penalty)/N (``reference:
+    SCFGP/SCFGP.py:125-128``); the unnormalized log posterior drops the 1/N
+    and the factor -2: logpost = -0.5 * (nlml + penalty) = -0.5 * N * cost.
+    """
+    n = X.shape[0]
+
+    def logpost(theta):
+        p = unpack_params(theta, D, S, M)
+        cost, _ = loss_fn(p, X, y)
+        return -0.5 * n * cost / temperature
+
+    return logpost
+
+
+def predictive_mixture(thetas, X, y, Xs, D, S, M):
+    """Posterior-predictive mean/std at Xs mixing over theta samples.
+
+    ``thetas``: (num_samples, P) flat draws.  Returns (mu, std) in the
+    *scaled* target space (un-scaling is the model layer's job).
+    """
+    def one(theta):
+        p = unpack_params(theta, D, S, M)
+        _, aux = loss_fn(p, X, y)
+        mu, std = predict_f(p, aux.post, Xs)
+        return mu, std
+
+    mus, stds = jax.vmap(one)(thetas)
+    mu = jnp.mean(mus, axis=0)
+    var = jnp.mean(stds**2, axis=0) + jnp.var(mus, axis=0)
+    return mu, jnp.sqrt(var)

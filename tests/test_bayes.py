@@ -1,0 +1,121 @@
+"""Sampler correctness tests: known-Gaussian targets + SCFGP posterior smoke.
+
+HMC/NUTS must recover the moments of an analytic target; VI must recover a
+Gaussian exactly; predictive mixing must beat/match the MAP predictive on
+data from the model family (SURVEY.md §7 step 7 validation).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scfgp_tpu.bayes import (hmc_sample, nuts_sample, fit_vi, vi_sample,
+                             make_logposterior, predictive_mixture)
+
+# Anisotropic correlated Gaussian target.
+COV = np.array([[1.0, 0.6, 0.0],
+                [0.6, 2.0, 0.3],
+                [0.0, 0.3, 0.5]])
+PREC = np.linalg.inv(COV)
+MEAN = np.array([1.0, -2.0, 0.5])
+
+
+def gauss_logpdf(x):
+    d = x - jnp.asarray(MEAN, x.dtype)
+    return -0.5 * d @ jnp.asarray(PREC, x.dtype) @ d
+
+
+def _init(chains=8, seed=0):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(chains, 3), jnp.float32)
+
+
+def test_hmc_recovers_gaussian_moments():
+    res = jax.jit(lambda q, k: hmc_sample(
+        gauss_logpdf, q, k, num_warmup=400, num_samples=600,
+        num_integration_steps=12, init_step_size=0.1))(
+        _init(), jax.random.PRNGKey(0))
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    assert 0.4 < float(res.accept_rate) <= 1.0
+    np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(np.cov(draws.T), COV, atol=0.4)
+
+
+def test_nuts_recovers_gaussian_moments():
+    res = jax.jit(lambda q, k: nuts_sample(
+        gauss_logpdf, q, k, num_warmup=400, num_samples=800,
+        max_depth=6, init_step_size=0.1))(_init(1), jax.random.PRNGKey(1))
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    assert 0.5 < float(res.accept_rate) <= 1.0
+    assert float(res.mean_depth) >= 1.0  # trees actually expand
+    np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(np.cov(draws.T), COV, atol=0.5)
+
+
+def test_vi_recovers_diagonal_gaussian():
+    target_mu = jnp.asarray([2.0, -1.0])
+    target_sig = jnp.asarray([0.5, 1.5])
+
+    def logpdf(x):
+        return -0.5 * jnp.sum(((x - target_mu) / target_sig) ** 2)
+
+    res = jax.jit(lambda q, k: fit_vi(
+        logpdf, q, k, num_steps=800, num_mc_samples=16,
+        learning_rate=0.05))(jnp.zeros(2), jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(res.mu), np.asarray(target_mu),
+                               atol=0.1)
+    np.testing.assert_allclose(np.exp(np.asarray(res.log_sigma)),
+                               np.asarray(target_sig), rtol=0.25)
+    draws = vi_sample(res, jax.random.PRNGKey(3), 1000)
+    assert draws.shape == (1000, 2)
+
+
+def test_scfgp_posterior_nuts_and_predictive():
+    """Chain-parallel NUTS over a small SCFGP posterior + predictive mixing."""
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.models.params import init_params, pack_params
+    from scfgp_tpu.models.objective import loss_fn, predict_f
+
+    D, S, M = 2, 2, 5
+    X, y = synthetic_gp_rff(n=120, d=D, s=S, m=M, noise_std=0.15, seed=7,
+                            dtype=np.float32)
+    Xt, yt = jnp.asarray(X[:100]), jnp.asarray(y[:100])
+    Xv, yv = jnp.asarray(X[100:]), np.asarray(y[100:])
+
+    logpost = make_logposterior(Xt, yt, D, S, M)
+    chains = 4
+    keys = jax.random.split(jax.random.PRNGKey(4), chains)
+    init_thetas = jnp.stack([
+        pack_params(init_params(k, D, S, M, jnp.float32)) for k in keys])
+
+    res = jax.jit(lambda q, k: nuts_sample(
+        logpost, q, k, num_warmup=150, num_samples=150, max_depth=6,
+        init_step_size=0.005))(init_thetas, jax.random.PRNGKey(5))
+    assert float(res.accept_rate) > 0.3
+    draws = np.asarray(res.samples)
+    assert np.isfinite(draws).all()
+
+    # thin to keep the predictive cheap
+    thetas = jnp.asarray(draws[::15].reshape(-1, draws.shape[-1]))
+    mu, std = predictive_mixture(thetas, Xt, yt, Xv, D, S, M)
+    assert np.isfinite(np.asarray(mu)).all()
+    rmse_bayes = float(np.sqrt(np.mean((np.asarray(mu) - yv) ** 2)))
+    assert rmse_bayes < 3.0 * np.std(yv)
+
+
+def test_chain_parallel_sharded_across_mesh():
+    """Chains sharded over the 8-device mesh run the same sampler code."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from scfgp_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    q0 = _init(chains=16, seed=9)
+    q0 = jax.device_put(q0, NamedSharding(mesh, P("data", None)))
+    f = jax.jit(lambda q, k: hmc_sample(
+        gauss_logpdf, q, k, num_warmup=200, num_samples=300,
+        num_integration_steps=10, init_step_size=0.1))
+    res = f(q0, jax.random.PRNGKey(3))
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.2)
+    assert 0.4 < float(res.accept_rate) <= 1.0
