@@ -1,0 +1,74 @@
+"""ctypes loader for the native (C++/OpenMP) data-preparation kernels.
+
+Loads ``native/libscfgp_native.so``; if absent, attempts a one-time build
+with g++ (the image has no pybind11, so the C ABI + ctypes is the binding
+path).  All callers must handle ``None`` (fallback to the SciPy path) —
+the framework stays pure-Python-runnable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libscfgp_native.so")
+
+_lib = None
+_load_attempted = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on first use if needed."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.scfgp_fit_boxcox_lambdas.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_double)]
+        lib.scfgp_fit_boxcox_lambdas.restype = None
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def fit_boxcox_lambdas_native(tX: np.ndarray,
+                              distinct_min: int = 10) -> Optional[np.ndarray]:
+    """Native per-column Box-Cox lambda fit; None if the library is missing.
+
+    Same objective as the SciPy path (squared unbiased skewness of the
+    signed Box-Cox transform, lambda = softplus(raw), raw in [-5, 5] —
+    reference Scaler.py:56-70) but grid+golden-section optimized and
+    OpenMP-parallel over columns.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    tX = np.ascontiguousarray(np.asarray(tX, np.float64).T)  # column-major
+    n, d = tX.shape[1], tX.shape[0]
+    out = np.zeros(d, np.float64)
+    lib.scfgp_fit_boxcox_lambdas(
+        tX.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n), ctypes.c_int64(d), ctypes.c_int64(distinct_min),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out

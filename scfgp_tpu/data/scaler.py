@@ -83,10 +83,17 @@ def _fit_boxcox_lambdas(tX: np.ndarray) -> np.ndarray:
 
 @dataclass
 class Scaler:
-    """Fit on host once; transform anywhere (host or jitted on device)."""
+    """Fit on host once; transform anywhere (host or jitted on device).
+
+    ``native=True`` routes the Box-Cox lambda fit through the C++/OpenMP
+    kernel (``native/boxcox.cpp``) — same objective, grid+golden-section
+    optimized, parallel over columns; the SciPy SLSQP path (exact reference
+    behavior) is the default and the automatic fallback.
+    """
 
     algo: str
     compat_reference: bool = False
+    native: bool = False
     cols: Optional[np.ndarray] = None          # surviving column indices
     state: dict = field(default_factory=dict)  # jnp arrays keyed by name
 
@@ -115,7 +122,11 @@ class Scaler:
             s["min"] = tX.min(axis=0)
             s["max"] = tX.max(axis=0)
             u = (tX - s["min"]) / (s["max"] - s["min"])
-            s["boxcox"] = _fit_boxcox_lambdas(u)
+            lams = None
+            if self.native:
+                from .native import fit_boxcox_lambdas_native
+                lams = fit_boxcox_lambdas_native(u)
+            s["boxcox"] = lams if lams is not None else _fit_boxcox_lambdas(u)
             bu = np.asarray(_boxcox(u, s["boxcox"][None, :]))
             s["mu"] = bu.mean(axis=0)
             s["std"] = bu.std(axis=0)

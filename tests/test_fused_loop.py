@@ -1,0 +1,75 @@
+"""Fused device-side training loop vs the host-loop reference semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scfgp_tpu import SCFGP
+from scfgp_tpu.data.datasets import synthetic_gp_rff
+from scfgp_tpu.models.objective import loss_fn
+from scfgp_tpu.opt.optimizers import make_optimizer
+from scfgp_tpu.opt.fused_loop import fused_optimize
+
+
+def test_fused_matches_host_loop_without_annealing():
+    """With annealing disabled by a huge max_cvrg, fused and host loops run
+    the same sequence of adam+nesterov steps."""
+    X, y = synthetic_gp_rff(n=150, d=3, s=3, m=6, seed=0, dtype=np.float32)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+    from scfgp_tpu.models.params import init_params
+    params = init_params(jax.random.PRNGKey(0), 3, 3, 6, jnp.float32)
+    tx = make_optimizer("adam", {"learning_rate": 0.01})
+
+    vg = jax.value_and_grad(
+        lambda p: (lambda c, a: (c, a.post))(*loss_fn(p, X, y)), has_aux=True)
+    res = jax.jit(lambda p, k: fused_optimize(
+        vg, tx, p, k, max_iter=25, cvrg_tol=1e-9, max_cvrg=10**6))(
+        params, jax.random.PRNGKey(1))
+
+    # host reference
+    from scfgp_tpu.opt.optimizers import tree_add
+    p_ref, st = params, tx.init(params)
+    costs = []
+    for _ in range(25):
+        (cost, post), g = vg(p_ref)
+        delta, st = tx.update(g, st, p_ref)
+        p_ref = tree_add(p_ref, delta)
+        costs.append(float(cost))
+    np.testing.assert_allclose(np.asarray(res.cost_history)[:25], costs,
+                               rtol=2e-5)
+    assert int(res.num_iters) == 25
+
+
+def test_fit_fast_end_to_end():
+    X, y = synthetic_gp_rff(n=400, d=4, s=5, m=15, noise_std=0.1, seed=1)
+    m = SCFGP(sparsity=8, nfeats=20, seed=0)
+    m.fit_fast(X[:320], y[:320], X[320:], y[320:], max_iter=200,
+               cvrg_tol=1e-5)
+    nmse = m.evals["NMSE"][1][m.min_obj_ind]
+    assert nmse < 0.15, nmse
+    mu, std = m.predict(X[320:])
+    assert mu.shape[0] == 80
+
+
+def test_fit_fast_with_validation_objective():
+    X, y = synthetic_gp_rff(n=300, d=3, s=4, m=10, noise_std=0.1, seed=2)
+    m = SCFGP(sparsity=6, nfeats=12, seed=0)
+    m.fit_fast(X[:240], y[:240], X[240:], y[240:], max_iter=120,
+               obj="NMSE")
+    assert np.isfinite(m.evals["NMSE"][1][m.min_obj_ind])
+
+
+def test_fused_early_stopping_triggers():
+    X, y = synthetic_gp_rff(n=120, d=2, s=2, m=4, seed=3, dtype=np.float32)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+    from scfgp_tpu.models.params import init_params
+    params = init_params(jax.random.PRNGKey(2), 2, 2, 4, jnp.float32)
+    tx = make_optimizer("adam", {"learning_rate": 0.01})
+    vg = jax.value_and_grad(
+        lambda p: (lambda c, a: (c, a.post))(*loss_fn(p, X, y)), has_aux=True)
+    res = jax.jit(lambda p, k: fused_optimize(
+        vg, tx, p, k, max_iter=500, cvrg_tol=10.0, max_cvrg=3))(
+        params, jax.random.PRNGKey(3))
+    # cvrg_tol=10 counts every improvement as negligible -> stop right after
+    # the iter>30 gate opens.
+    assert int(res.num_iters) < 40

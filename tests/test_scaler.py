@@ -110,3 +110,41 @@ def test_transforms_are_jittable():
     np.testing.assert_allclose(np.asarray(f(X)),
                                np.asarray(sc.forward_transform(X)),
                                rtol=1e-12)
+
+
+def test_native_boxcox_agrees_with_scipy():
+    """C++ grid+golden fit lands at (or below) the SciPy SLSQP objective."""
+    from scfgp_tpu.data.native import fit_boxcox_lambdas_native
+    from scipy.stats import skew
+
+    X = _data(7, n=400, d=3)
+    mn, mx = X.min(0), X.max(0)
+    u = (X - mn) / (mx - mn)
+    lams_native = fit_boxcox_lambdas_native(u)
+    if lams_native is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    from scfgp_tpu.data.scaler import _fit_boxcox_lambdas
+    lams_scipy = _fit_boxcox_lambdas(u)
+    bc = lambda x, lm: (np.sign(x) * np.abs(x) ** lm - 1) / lm
+
+    def obj(col, lm):
+        return skew(bc(col, lm), bias=False) ** 2
+
+    for j in range(u.shape[1]):
+        o_nat = obj(u[:, j], lams_native[j])
+        o_sci = obj(u[:, j], lams_scipy[j])
+        # Native does a global grid scan; it must be at least as good.
+        assert o_nat <= o_sci + 1e-6, (j, o_nat, o_sci)
+
+
+def test_scaler_native_roundtrip():
+    from scfgp_tpu.data.native import get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    X = _data(8)
+    sc = Scaler("auto-normal", native=True).fit(X)
+    tX = np.asarray(sc.forward_transform(X))
+    back = np.asarray(sc.backward_transform(tX))
+    np.testing.assert_allclose(back, X, rtol=1e-5, atol=1e-6)
