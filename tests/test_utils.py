@@ -1,0 +1,72 @@
+"""Profiling/debug utilities + typed configs + checkpoint-resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scfgp_tpu.config import (ModelConfig, OptimizerConfig, TrainConfig,
+                              MeshConfig, make_model, to_dict)
+from scfgp_tpu.utils.profiling import (time_fn, debug_numerics,
+                                       assert_deterministic)
+
+
+def test_time_fn():
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((64, 64))
+    res = time_fn(f, x, iters=5)
+    assert res["calls_per_s"] > 0 and res["ms_per_call"] > 0
+
+
+def test_debug_numerics_catches_nan():
+    with pytest.raises(FloatingPointError):
+        with debug_numerics():
+            jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)) + 1
+
+
+def test_assert_deterministic():
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    x = jnp.arange(100, dtype=jnp.float32)
+    assert_deterministic(lambda: f(x), reps=3)
+
+
+def test_configs_reproduce_reference_defaults():
+    t = TrainConfig()
+    kw = t.as_optimize_kwargs()
+    assert kw["batchsize"] == 150 and kw["cvrg_tol"] == 1e-4
+    assert kw["max_cvrg"] == 18 and kw["max_iter"] == 500
+    assert kw["algo"]["algo"] == "adam"
+    assert kw["algo"]["algo_params"]["learning_rate"] == 0.01
+    m = ModelConfig()
+    assert m.X_scaling_method == "auto-inv-normal"
+    assert to_dict(MeshConfig())["axis_name"] == "data"
+
+
+def test_make_model_and_config_driven_fit():
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    X, y = synthetic_gp_rff(n=150, d=3, s=3, m=8, seed=0)
+    cfg = ModelConfig(sparsity=4, nfeats=8, seed=0)
+    tcfg = TrainConfig(max_iter=40)
+    model = make_model(cfg)
+    model.set_data(X, y)
+    model.optimize(**tcfg.as_optimize_kwargs())
+    assert len(model.evals["COST"][1]) > 1
+
+
+def test_checkpoint_resume_training():
+    """save -> load -> set_data -> optimize continues (reference couldn't
+    resume without set_data either, SCFGP.py:296-310 + SURVEY quirk 6)."""
+    from scfgp_tpu import SCFGP
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    X, y = synthetic_gp_rff(n=200, d=3, s=3, m=8, seed=1)
+    m1 = SCFGP(sparsity=4, nfeats=8, seed=0)
+    m1.fit(X[:160], y[:160], max_iter=30)
+    c1 = m1.evals["COST"][1][-1]
+    m1.save("/tmp/resume_test.pkl")
+
+    m2 = SCFGP().load("/tmp/resume_test.pkl")
+    assert (m2.S, m2.M) == (4, 8)
+    m2.set_data(X[:160], y[:160])   # re-fits scalers; params preserved
+    m2.optimize(max_iter=30)
+    c2 = m2.evals["COST"][1][-1]
+    assert np.isfinite(c2) and c2 <= c1 + 0.5  # continued, did not reset
