@@ -49,17 +49,29 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
                       w: Optional[jax.Array] = None,
                       block_size: int = 4096,
                       axis_name: Optional[str] = None,
-                      feature_impl: str = "xla"):
-    """Drop-in replacement for ``loss_fn`` with O(block_size) memory."""
+                      feature_impl: str = "xla",
+                      stats_impl: str = "xla"):
+    """Drop-in replacement for ``loss_fn`` with O(block_size) memory.
+
+    ``stats_impl='pallas'`` routes pass 1 through the fused Phi-free Gram
+    kernel (``scfgp_tpu.ops.gram``) — the feature tensor never exists even
+    per-block."""
     y = y.reshape(-1)
     sig2_n = jnp.exp(2.0 * p.a)
     noise = softplus(p.c)
     Xb, yb, wb = _pad_blocks(X, y, w, block_size)
 
-    @jax.checkpoint
-    def stats_block(p, Xi, yi, wi):
-        Phi = fourier_features(p, Xi, impl=feature_impl)
-        return sufficient_stats(Phi, yi, wi)
+    if stats_impl == "pallas":
+        from .gram import sufficient_stats_pallas
+
+        @jax.checkpoint
+        def stats_block(p, Xi, yi, wi):
+            return sufficient_stats_pallas(p, Xi, yi, wi)
+    else:
+        @jax.checkpoint
+        def stats_block(p, Xi, yi, wi):
+            Phi = fourier_features(p, Xi, impl=feature_impl)
+            return sufficient_stats(Phi, yi, wi)
 
     def pass1(carry, blk):
         Xi, yi, wi = blk

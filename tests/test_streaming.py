@@ -66,3 +66,22 @@ def test_streaming_sharded_matches_dense():
         out_specs=P()))
     np.testing.assert_allclose(float(f(p, Xs, ys, ws)), float(c_ref),
                                rtol=1e-12)
+
+
+def test_streaming_with_pallas_stats():
+    """Streaming pass 1 through the fused Gram kernel (f32, interpret)."""
+    rng = np.random.RandomState(5)
+    X = jnp.asarray(rng.randn(200, D), jnp.float32)
+    y = jnp.asarray(rng.randn(200), jnp.float32)
+    p32 = init_params(jax.random.PRNGKey(5), D, S, M, jnp.float32)
+    c_ref, _ = loss_fn(p32, X, y)
+    c_str, _ = loss_fn_streaming(p32, X, y, block_size=64,
+                                 stats_impl="pallas")
+    np.testing.assert_allclose(float(c_str), float(c_ref), rtol=2e-4)
+    g_ref = jax.grad(lambda q: loss_fn(q, X, y)[0])(p32)
+    g_str = jax.grad(lambda q: loss_fn_streaming(
+        q, X, y, block_size=64, stats_impl="pallas")[0])(p32)
+    for name, a, b in zip(g_ref._fields, jax.tree.leaves(g_ref),
+                          jax.tree.leaves(g_str)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-2, atol=1e-3, err_msg=name)
