@@ -20,21 +20,51 @@ from ..models.objective import loss_fn, predict_f
 from ..models.params import unpack_params
 
 
-def make_logposterior(X, y, D, S, M, temperature: float = 1.0):
+def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
+                      include_phases: bool = False,
+                      phases=None):
     """log p(theta | data) up to a constant: -(nlml + penalty)/2.
 
     The reference's training cost is (nlml + penalty)/N (``reference:
     SCFGP/SCFGP.py:125-128``); the unnormalized log posterior drops the 1/N
     and the factor -2: logpost = -0.5 * (nlml + penalty) = -0.5 * N * cost.
+
+    The phase parameters are pure gauge — the posterior is EXACTLY flat in
+    them (see ``tests/test_objective.py::test_phase_parameters_are_pure_
+    gauge``), which makes them improper sampling directions.  By default the
+    target is the reduced vector ``[a, b, c, l_F, r_F]`` (dimension
+    ``3 + DS + MS``) with phases pinned at ``phases`` (default zeros);
+    ``include_phases=True`` keeps the full reference layout.
     """
     n = X.shape[0]
 
+    if include_phases:
+        def logpost(theta):
+            p = unpack_params(theta, D, S, M)
+            cost, _ = loss_fn(p, X, y)
+            return -0.5 * n * cost / temperature
+        return logpost
+
+    import jax.numpy as jnp
+    if phases is None:
+        l_phase = jnp.zeros(S)
+        phase = jnp.zeros(M)
+    else:
+        l_phase, phase = phases
+
     def logpost(theta):
-        p = unpack_params(theta, D, S, M)
+        theta_full = jnp.concatenate([theta, l_phase.astype(theta.dtype),
+                                      phase.astype(theta.dtype)])
+        p = unpack_params(theta_full, D, S, M)
         cost, _ = loss_fn(p, X, y)
         return -0.5 * n * cost / temperature
 
     return logpost
+
+
+def reduced_dim(D, S, M) -> int:
+    """Dimension of the phase-free sampling space: 3 + D*S + M*S."""
+    return 3 + D * S + M * S
 
 
 def predictive_mixture(thetas, X, y, Xs, D, S, M):
@@ -43,6 +73,13 @@ def predictive_mixture(thetas, X, y, Xs, D, S, M):
     ``thetas``: (num_samples, P) flat draws.  Returns (mu, std) in the
     *scaled* target space (un-scaling is the model layer's job).
     """
+    reduced = reduced_dim(D, S, M)
+    if thetas.shape[-1] == reduced:
+        # Phase-free draws (the default sampling space): phases are gauge,
+        # any value gives identical predictions — append zeros.
+        pad = jnp.zeros((thetas.shape[0], S + M), thetas.dtype)
+        thetas = jnp.concatenate([thetas, pad], axis=1)
+
     def one(theta):
         p = unpack_params(theta, D, S, M)
         _, aux = loss_fn(p, X, y)

@@ -83,11 +83,15 @@ def test_scfgp_posterior_nuts_and_predictive():
     Xt, yt = jnp.asarray(X[:100]), jnp.asarray(y[:100])
     Xv, yv = jnp.asarray(X[100:]), np.asarray(y[100:])
 
+    # Default sampling space excludes the gauge phase parameters.
+    from scfgp_tpu.bayes.predictive import reduced_dim
     logpost = make_logposterior(Xt, yt, D, S, M)
     chains = 4
     keys = jax.random.split(jax.random.PRNGKey(4), chains)
+    P_red = reduced_dim(D, S, M)
     init_thetas = jnp.stack([
-        pack_params(init_params(k, D, S, M, jnp.float32)) for k in keys])
+        pack_params(init_params(k, D, S, M, jnp.float32))[:P_red]
+        for k in keys])
 
     res = jax.jit(lambda q, k: nuts_sample(
         logpost, q, k, num_warmup=150, num_samples=150, max_depth=6,

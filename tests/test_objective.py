@@ -113,3 +113,30 @@ def test_float32_close_to_float64():
     p32 = jax.tree.map(lambda t: t.astype(jnp.float32), params)
     c32, _ = loss_fn(p32, X.astype(jnp.float32), y.astype(jnp.float32))
     np.testing.assert_allclose(float(c32), float(c64), rtol=2e-4)
+
+
+def test_phase_parameters_are_pure_gauge():
+    """Phases rotate each (cos, sin) column pair orthogonally, so the Gram,
+    posterior, cost, and predictions are EXACTLY invariant to them — the
+    reference's l_p/p parameters (SCFGP.py:70-71) are structurally dead
+    under gradient training (their gradient is identically zero).  This
+    also explains why kernel-vs-kernel phase-gradient comparisons are 0/0
+    float noise."""
+    X, y, params = _problem(seed=6)
+    Xs = jnp.asarray(np.random.RandomState(1).randn(17, D))
+    c0, aux0 = loss_fn(params, X, y)
+    mu0, std0 = predict_f(params, aux0.post, Xs)
+    rng = np.random.RandomState(2)
+    p2 = params._replace(
+        phase=params.phase + jnp.asarray(rng.randn(M) * 2.5),
+        l_phase=params.l_phase + jnp.asarray(rng.randn(S) * 2.5))
+    c1, aux1 = loss_fn(p2, X, y)
+    mu1, std1 = predict_f(p2, aux1.post, Xs)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(std1), np.asarray(std0),
+                               atol=1e-12)
+    # and the exact gradient w.r.t. phases is zero
+    g = jax.grad(lambda q: loss_fn(q, X, y)[0])(params)
+    np.testing.assert_allclose(np.asarray(g.phase), 0.0, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(g.l_phase), 0.0, atol=1e-15)
