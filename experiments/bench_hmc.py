@@ -1,0 +1,82 @@
+"""HMC/NUTS throughput benchmark: samples/s with vmapped chains.
+
+BASELINE.md asks for HMC samples/s (new capability, no reference value).
+Measures chain-parallel HMC and NUTS over the SCFGP posterior on the
+kin8nm-scale config, whole sampler inside one jit.
+
+Usage: python experiments/bench_hmc.py [--cpu] [--chains 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--chains", type=int, default=8)
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--samples", type=int, default=100)
+    ap.add_argument("--warmup", type=int, default=100)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scfgp_tpu.bayes import hmc_sample, nuts_sample, make_logposterior
+    from scfgp_tpu.bayes.predictive import reduced_dim
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.models.params import init_params, pack_params
+
+    D, S, M = 8, 20, 50
+    X, y = synthetic_gp_rff(n=args.n, d=D, s=S, m=M, noise_std=0.1, seed=0,
+                            dtype=np.float32)
+    Xt, yt = jnp.asarray(X), jnp.asarray(y)
+    logpost = make_logposterior(Xt, yt, D, S, M)
+    P = reduced_dim(D, S, M)
+    keys = jax.random.split(jax.random.PRNGKey(0), args.chains)
+    init = jnp.stack([pack_params(
+        init_params(k, D, S, M, jnp.float32))[:P] for k in keys])
+
+    results = {}
+    for name, fn in (
+        ("hmc", lambda q, k: hmc_sample(
+            logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
+            num_integration_steps=16, init_step_size=0.003)),
+        ("nuts", lambda q, k: nuts_sample(
+            logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
+            max_depth=6, init_step_size=0.003)),
+    ):
+        run = jax.jit(fn)
+        t0 = time.time()
+        res = jax.block_until_ready(run(init, jax.random.PRNGKey(1)))
+        compile_and_run = time.time() - t0
+        t0 = time.time()
+        res = jax.block_until_ready(run(init, jax.random.PRNGKey(2)))
+        dt = time.time() - t0
+        total_draws = args.samples * args.chains
+        results[name] = {
+            "samples_per_s": round(total_draws / dt, 2),
+            "accept_rate": round(float(res.accept_rate), 3),
+            "chains": args.chains,
+            "dim": P,
+            "first_call_s": round(compile_and_run, 1),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "hmc")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "bench_hmc.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

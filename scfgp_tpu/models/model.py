@@ -440,6 +440,31 @@ class SCFGP:
         self.NAME = "SCFGP (Sparsity=%d, Fourier Features=%d)" % (self.S, self.M)
         return self
 
+    # -- legacy result attributes (reference README.md:44-52, SURVEY §2.3) ----
+
+    _LEGACY_MAP = {
+        "TsMAE": "MAE", "TsNMAE": "NMAE", "TsMSE": "MSE", "TsNMSE": "NMSE",
+        "TsRMSE": "RMSE", "TsMNLP": "MNLP", "SCORE": "SCORE",
+    }
+
+    def __getattr__(self, name):
+        # Legacy v0.1.0 result attributes (TsMAE, TsRMSE, ...) exposed by the
+        # reference's old API and used by its experiment scripts
+        # (abalone.py:58-79, kin8nm.py:53-74).  TrTime = total training time.
+        if name in SCFGP._LEGACY_MAP:
+            series = self.evals[SCFGP._LEGACY_MAP[name]][1]
+            if not series:
+                raise AttributeError(f"{name}: no evaluations recorded yet")
+            ix = self.min_obj_ind if self.min_obj_ind < len(series) else -1
+            return series[ix]
+        if name == "TrTime":
+            series = self.evals["TIME(s)"][1]
+            if not series:
+                raise AttributeError("TrTime: no training recorded yet")
+            return series[-1]
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}")
+
     # -- reporting ------------------------------------------------------------
 
     def _print_current_evals(self):
