@@ -56,9 +56,13 @@ class SCFGP:
                  X_scaling_method: str = "auto-inv-normal",
                  y_scaling_method: str = "auto-normal",
                  verbose: bool = False, seed: Optional[int] = None,
-                 dtype=None):
+                 dtype=None, extra_basis=None):
+        # sparsity=-1 selects full rank (legacy reference API, resolved at
+        # set_data when D is known); extra_basis(X)->(N,B) appends fixed
+        # feature columns for composite models (e.g. trend+periodic CO2).
         self.S = sparsity
         self.M = nfeats
+        self.extra_basis = extra_basis
         self.X_scaler = Scaler(X_scaling_method)
         self.y_scaler = Scaler(y_scaling_method)
         self.evals = new_evals_dict() if evals is None else evals
@@ -108,6 +112,8 @@ class SCFGP:
             self.dtype).reshape(-1)
         self.message("done.")
         self.N, self.D = self.X.shape
+        from .params import resolve_sparsity
+        self.S = resolve_sparsity(self.S, self.D, self.M)
         if self.params is None:
             self.message("-" * 60, "\nInitializing SCFGP hyperparameters...")
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
@@ -121,13 +127,16 @@ class SCFGP:
 
     def _eval_fn(self):
         """Jitted loss WITHOUT update (reference train_func, SCFGP.py:134-135)."""
-        return _jitted_loss
+        basis = self.extra_basis
+        return lambda p, X, y: _jitted_loss(p, X, y, basis_fn=basis)
 
     def _make_step(self, tx):
         """Jitted loss + grad + optimizer update (train_iter_func analog)."""
+        basis = self.extra_basis
+
         def step(params, opt_state, X, y):
             (cost, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, X, y)
+                loss_fn, has_aux=True)(params, X, y, basis_fn=basis)
             delta, opt_state = tx.update(grads, opt_state, params)
             params = tree_add(params, delta)
             return params, opt_state, cost, aux.post
@@ -266,9 +275,11 @@ class SCFGP:
         var_ys = jnp.var(ys)
         bk = self.y_scaler.backward_transform
 
+        basis = self.extra_basis
+
         def obj_fn(params, post, cost):
             from .objective import predict_f
-            mu_f, std_f = predict_f(params, post, Xv_t)
+            mu_f, std_f = predict_f(params, post, Xv_t, basis_fn=basis)
             mu_y = bk(mu_f[:, None]).reshape(-1)
             up = bk((mu_f + std_f)[:, None]).reshape(-1)
             dn = bk((mu_f - std_f)[:, None]).reshape(-1)
@@ -312,8 +323,10 @@ class SCFGP:
 
         tx = make_optimizer(algo["algo"], algo.get("algo_params"))
         X, y = self.X, self.y
+        basis = self.extra_basis
         vg = jax.value_and_grad(
-            lambda p: (lambda c, a: (c, a.post))(*loss_fn(p, X, y)),
+            lambda p: (lambda c, a: (c, a.post))(
+                *loss_fn(p, X, y, basis_fn=basis)),
             has_aux=True)
 
         obj_fn = None
@@ -373,7 +386,8 @@ class SCFGP:
     def _predict_unscale(self, Xs_t):
         """Predict on pre-transformed inputs; un-scale with the half-range std
         approximation for nonlinear y-scalers (SCFGP.py:281-284)."""
-        mu_f, std_f = _jitted_predict(self.params, self.post, Xs_t)
+        mu_f, std_f = _jitted_predict(self.params, self.post, Xs_t,
+                                      basis_fn=self.extra_basis)
         mu_f = np.asarray(mu_f)[:, None]
         std_f = np.asarray(std_f)[:, None]
         mu_y = np.asarray(self.y_scaler.backward_transform(mu_f))
@@ -394,7 +408,8 @@ class SCFGP:
         """Scaled-space predictive mean/std on already-transformed inputs —
         what the reference Visualizer plots (Visualizer.py:35)."""
         mu, std = _jitted_predict(self.params, self.post,
-                                  jnp.asarray(Xs, self.dtype))
+                                  jnp.asarray(Xs, self.dtype),
+                                  basis_fn=self.extra_basis)
         return np.asarray(mu).ravel(), np.asarray(std).ravel()
 
     # -- persistence ----------------------------------------------------------
@@ -475,11 +490,5 @@ class SCFGP:
             self.message(self.NAME, "%7s = %.4e" % (metric, best))
 
 
-@jax.jit
-def _jitted_loss(params, X, y):
-    return loss_fn(params, X, y)
-
-
-@jax.jit
-def _jitted_predict(params, post, Xs):
-    return predict_f(params, post, Xs)
+_jitted_loss = jax.jit(loss_fn, static_argnames=("basis_fn",))
+_jitted_predict = jax.jit(predict_f, static_argnames=("basis_fn",))

@@ -195,7 +195,8 @@ def kl_penalty(p: SCFGPParams) -> jax.Array:
 def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
             w: Optional[jax.Array] = None,
             axis_name: Optional[str] = None,
-            feature_impl: str = "xla"):
+            feature_impl: str = "xla",
+            basis_fn=None):
     """Full SCFGP training objective: ``cost = (nlml + penalty) / N``.
 
     Mirrors ``SCFGP.py:92-128`` term by term (including the reference's
@@ -213,6 +214,12 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
     noise = softplus(p.c)
 
     Phi = fourier_features(p, X, impl=feature_impl)
+    if basis_fn is not None:
+        # Composite models (e.g. trend + periodic for CO2, BASELINE config
+        # 4): append FIXED basis columns to the feature block.  The weight-
+        # space posterior handles them like any other feature; the nlml's
+        # M-dependent terms keep the reference definitions.
+        Phi = jnp.concatenate([Phi, basis_fn(X).astype(Phi.dtype)], axis=1)
     stats = sufficient_stats(Phi, y, w)
     if axis_name is not None:
         stats = psum_stats(stats, axis_name)
@@ -237,13 +244,16 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
 
 
 def predict_f(p: SCFGPParams, post: Posterior, Xs: jax.Array,
-              feature_impl: str = "xla"):
+              feature_impl: str = "xla", basis_fn=None):
     """Predictive mean and std of the *scaled* target (SCFGP.py:138-148).
 
     ``mu* = Phi* alpha``; ``std* = sqrt(noise * (1 + rowsum((Phi* Li^T)^2)))``.
     """
     noise = softplus(p.c)
     Phis = fourier_features(p, Xs, impl=feature_impl)
+    if basis_fn is not None:
+        Phis = jnp.concatenate([Phis, basis_fn(Xs).astype(Phis.dtype)],
+                               axis=1)
     mu = Phis @ post.alpha
     PhiLiT = jnp.dot(Phis, post.Li.T, preferred_element_type=Phis.dtype)
     std = jnp.sqrt(noise * (1.0 + jnp.sum(PhiLiT * PhiLiT, axis=1)))

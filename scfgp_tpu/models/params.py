@@ -51,13 +51,27 @@ class SCFGPParams(NamedTuple):
         return self.r_F.shape[0]
 
 
+def resolve_sparsity(S: int, D: int, M: int) -> int:
+    """Map the legacy full-rank sentinel to an effective rank.
+
+    The reference's v0.1.0 API accepted ``rank=-1`` for an unfactorized
+    frequency matrix (``reference: experiments/boston_housing/
+    test_regression.py:37``, BASELINE config "rank=full").  With the low-rank
+    product ``F = l_F r_F^T``, rank ``min(D, M)`` spans ALL D x M matrices,
+    so ``S=-1`` maps there — full rank inside the same parameterization.
+    """
+    return min(D, M) if S == -1 else S
+
+
 def init_params(key: jax.Array, D: int, S: int, M: int,
                 dtype=jnp.float32) -> SCFGPParams:
     """Random init matching the reference distributionally.
 
     Reference (``SCFGP/SCFGP.py:64-72``): a,b,c,l_F ~ N(0,1); r_F ~ U(0,1);
-    phases ~ U(0, 2*pi).
+    phases ~ U(0, 2*pi).  ``S=-1`` selects full rank (see
+    ``resolve_sparsity``).
     """
+    S = resolve_sparsity(S, D, M)
     ka, kb, kc, kl, kr, kp1, kp2 = jax.random.split(key, 7)
     two_pi = 2.0 * np.pi
     return SCFGPParams(

@@ -1,0 +1,57 @@
+"""Full-rank mode (legacy rank=-1) and composite extra-basis models."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from scfgp_tpu import SCFGP
+from scfgp_tpu.data.datasets import synthetic_gp_rff, load_co2
+from scfgp_tpu.models.params import resolve_sparsity
+
+
+def test_resolve_sparsity():
+    assert resolve_sparsity(-1, 13, 50) == 13
+    assert resolve_sparsity(-1, 60, 50) == 50
+    assert resolve_sparsity(7, 13, 50) == 7
+
+
+def test_full_rank_mode_trains():
+    X, y = synthetic_gp_rff(n=200, d=4, s=4, m=10, seed=0)
+    m = SCFGP(sparsity=-1, nfeats=12, seed=0)
+    m.fit(X[:160], y[:160], X[160:], y[160:], max_iter=60)
+    assert m.S == 4  # min(D=4, M=12)
+    assert np.isfinite(m.evals["NMSE"][1][m.min_obj_ind])
+
+
+def test_composite_basis_improves_co2_extrapolation():
+    """Trend basis columns let the GP extrapolate the CO2 growth curve:
+    the composite model must beat the plain model on a future-time split
+    (BASELINE config 4: 'composite trend+periodic Fourier features')."""
+    Xt, yt, Xv, yv, meta = load_co2(seed=0)
+    # time-ordered split: train on past, validate on future
+    X = np.concatenate([Xt, Xv]); y = np.concatenate([yt, yv])
+    order = np.argsort(X[:, 0])
+    X, y = X[order], y[order]
+    ntr = int(0.85 * len(y))
+    Xtr, ytr, Xte, yte = X[:ntr], y[:ntr], X[ntr:], y[ntr:]
+
+    def trend_basis(Xs):
+        # scaled inputs are ~[0, 1]: linear + quadratic trend columns
+        t = Xs[:, :1]
+        return jnp.concatenate([jnp.ones_like(t), t, t * t], axis=1)
+
+    # min-max X scaling: the default auto-inv-normal squashes future times
+    # through a Gaussian CDF, which destroys extrapolation structure.
+    common = dict(max_iter=200, obj="cost",
+                  algo={"algo": "adamax",
+                        "algo_params": {"learning_rate": 0.05, "beta1": 0.8,
+                                        "beta2": 0.999, "epsilon": 1e-8}})
+    plain = SCFGP(sparsity=10, nfeats=20, seed=0,
+                  X_scaling_method="min-max")
+    plain.fit(Xtr, ytr, Xte, yte, **common)
+    comp = SCFGP(sparsity=10, nfeats=20, seed=0,
+                 X_scaling_method="min-max", extra_basis=trend_basis)
+    comp.fit(Xtr, ytr, Xte, yte, **common)
+    nmse_plain = plain.evals["NMSE"][1][plain.min_obj_ind]
+    nmse_comp = comp.evals["NMSE"][1][comp.min_obj_ind]
+    assert nmse_comp < nmse_plain, (nmse_comp, nmse_plain)
+    assert nmse_comp < 0.5, nmse_comp
