@@ -1,0 +1,87 @@
+"""Serving export: freeze a trained model's predictor into a StableHLO
+artifact.
+
+The reference's deployment story was "pickle the compiled Theano functions"
+(``reference: SCFGP/SCFGP.py:296-310``) — runnable only inside a matching
+Theano install.  The TPU-native equivalent uses ``jax.export``: the jitted
+predictive function (scaled-space mean/std, parameters and posterior baked
+in as constants) is lowered to serialized StableHLO which any compatible
+JAX runtime can reload and execute without the model class, Python
+training code, or the original process.
+
+The exported function maps *scaled* inputs to scaled-space (mu, std):
+target un-scaling is a trivial affine/CDF transform captured in
+``Scaler.to_state_dict`` and typically applied client-side (it is exported
+alongside).  Batch shape is fixed at export (use the largest expected batch
+and pad — XLA requires static shapes).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def export_predictor(model, batch_size: int) -> bytes:
+    """Serialize the model's predictor for (batch_size, D) scaled inputs.
+
+    Returns bytes: a pickle of {stablehlo, scalers, meta}.
+    """
+    from jax import export as jexport
+
+    params = model.params
+    post = model.post
+    basis = model.extra_basis
+    if params is None or post is None:
+        raise ValueError("model must be trained before export")
+
+    from ..models.objective import predict_f
+
+    def predict(Xs):
+        return predict_f(params, post, Xs, basis_fn=basis)
+
+    spec = jax.ShapeDtypeStruct((batch_size, model.D), model.dtype)
+    exported = jexport.export(jax.jit(predict))(spec)
+    payload = {
+        "stablehlo": exported.serialize(),
+        "X_scaler": model.X_scaler.to_state_dict(),
+        "y_scaler": model.y_scaler.to_state_dict(),
+        "meta": {"S": model.S, "M": model.M, "D": model.D,
+                 "batch_size": batch_size, "ID": model.ID},
+    }
+    return pickle.dumps(payload)
+
+
+class ServedPredictor:
+    """Reloaded predictor: original-units mean/std from raw inputs."""
+
+    def __init__(self, blob: bytes):
+        from jax import export as jexport
+        from ..data.scaler import Scaler
+
+        payload = pickle.loads(blob)
+        self._exported = jexport.deserialize(payload["stablehlo"])
+        self.X_scaler = Scaler.from_state_dict(payload["X_scaler"])
+        self.y_scaler = Scaler.from_state_dict(payload["y_scaler"])
+        self.meta = payload["meta"]
+
+    def __call__(self, Xs) -> Tuple[np.ndarray, np.ndarray]:
+        b = self.meta["batch_size"]
+        Xt = np.asarray(self.X_scaler.forward_transform(Xs))
+        n = Xt.shape[0]
+        if n > b:
+            raise ValueError(f"batch {n} exceeds exported size {b}")
+        pad = b - n
+        if pad:
+            Xt = np.concatenate([Xt, np.zeros((pad, Xt.shape[1]))], axis=0)
+        mu_f, std_f = self._exported.call(jnp.asarray(Xt, jnp.float32))
+        mu_f = np.asarray(mu_f)[:n, None]
+        std_f = np.asarray(std_f)[:n, None]
+        mu_y = np.asarray(self.y_scaler.backward_transform(mu_f))
+        up = np.asarray(self.y_scaler.backward_transform(mu_f + std_f))
+        dn = np.asarray(self.y_scaler.backward_transform(mu_f - std_f))
+        return mu_y, 0.5 * (up - dn)

@@ -1,0 +1,31 @@
+"""StableHLO serving export: serialize, reload, predict-parity."""
+
+import numpy as np
+
+from scfgp_tpu import SCFGP
+from scfgp_tpu.data.datasets import synthetic_gp_rff
+from scfgp_tpu.utils.serving import export_predictor, ServedPredictor
+
+
+def test_export_reload_predict_parity():
+    import jax.numpy as jnp
+    X, y = synthetic_gp_rff(n=200, d=3, s=3, m=8, seed=0, dtype=np.float32)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0, dtype=jnp.float32)
+    m.fit(X[:160], y[:160], max_iter=40)
+
+    blob = export_predictor(m, batch_size=64)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+
+    served = ServedPredictor(blob)
+    Xq = X[160:200]  # 40 rows < exported batch 64 (padding path)
+    mu_ref, std_ref = m.predict(Xq)
+    mu_srv, std_srv = served(Xq)
+    np.testing.assert_allclose(mu_srv, mu_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(std_srv, std_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_export_rejects_untrained():
+    import pytest
+    m = SCFGP(sparsity=4, nfeats=8)
+    with pytest.raises(ValueError):
+        export_predictor(m, batch_size=8)
