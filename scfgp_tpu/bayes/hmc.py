@@ -73,15 +73,18 @@ def welford_init(dim: int, dtype=jnp.float32) -> WelfordState:
 
 
 def welford_add_batch(state: WelfordState, xs: jax.Array) -> WelfordState:
-    """Add a (chains, P) batch of draws (all chains feed ONE shared mass)."""
-    def add_one(st, x):
-        count = st.count + 1.0
-        delta = x - st.mean
-        mean = st.mean + delta / count
-        m2 = st.m2 + delta * (x - mean)
-        return WelfordState(count, mean, m2), None
-    state, _ = jax.lax.scan(add_one, state, xs)
-    return state
+    """Add a (chains, P) batch of draws (all chains feed ONE shared mass).
+
+    Vectorized Chan-et-al parallel merge (no per-chain sequential scan —
+    keeps the compiled sampler program small)."""
+    nb = jnp.asarray(xs.shape[0], xs.dtype)
+    mb = jnp.mean(xs, axis=0)
+    m2b = jnp.sum((xs - mb[None, :]) ** 2, axis=0)
+    n = state.count + nb
+    delta = mb - state.mean
+    mean = state.mean + delta * nb / n
+    m2 = state.m2 + m2b + delta * delta * state.count * nb / n
+    return WelfordState(n, mean, m2)
 
 
 def welford_variance(state: WelfordState, reg: float = 1e-3) -> jax.Array:

@@ -33,13 +33,16 @@ def _init(chains=8, seed=0):
 
 def test_hmc_recovers_gaussian_moments():
     res = jax.jit(lambda q, k: hmc_sample(
-        gauss_logpdf, q, k, num_warmup=400, num_samples=600,
+        gauss_logpdf, q, k, num_warmup=800, num_samples=2000,
         num_integration_steps=12, init_step_size=0.1))(
         _init(), jax.random.PRNGKey(0))
     draws = np.asarray(res.samples).reshape(-1, 3)
     assert 0.4 < float(res.accept_rate) <= 1.0
+    # Warmup must have learned the scale: inv_mass ~ target variances.
+    np.testing.assert_allclose(np.asarray(res.inv_mass), np.diag(COV),
+                               rtol=0.5)
     np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.15)
-    np.testing.assert_allclose(np.cov(draws.T), COV, atol=0.4)
+    np.testing.assert_allclose(np.cov(draws.T), COV, atol=0.35)
 
 
 def test_nuts_recovers_gaussian_moments():
