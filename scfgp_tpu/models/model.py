@@ -164,6 +164,14 @@ class SCFGP:
         cvrg_tol = args.get("cvrg_tol", 1e-4)
         max_cvrg = args.get("max_cvrg", 18)
         max_iter = args.get("max_iter", 500)
+        # Aux subsystems beyond the reference (SURVEY.md §5): structured
+        # JSONL metric logging + periodic best-model checkpointing (the
+        # failure-recovery story: restart by load() + optimize()).
+        from ..utils.logging import MetricLogger
+        logger = MetricLogger(args.get("log_file"))
+        checkpoint_path = args.get("checkpoint_path")
+        checkpoint_every = args.get("checkpoint_every", 25)
+        last_ckpt_iter = -1
 
         for metric in self.evals:
             self.evals[metric][1] = []
@@ -219,7 +227,14 @@ class SCFGP:
                 self._print_current_evals()
             if animate is not None:
                 animate(it)
+            logger.log(it, **{k: (self.evals[k][1][-1]
+                                  if self.evals[k][1] else None)
+                              for k in ("COST", "NMSE", "MNLP", "RMSE")})
             obj_val = self.evals[obj][1][-1]
+            if (checkpoint_path and it - last_ckpt_iter >= checkpoint_every
+                    and obj_val < min_obj_val):
+                self.save(checkpoint_path)
+                last_ckpt_iter = it
             if obj_val < min_obj_val:
                 if min_obj_val - obj_val < cvrg_tol:
                     cvrg_iter += 1
@@ -248,6 +263,9 @@ class SCFGP:
         if Xv is not None and yv is not None:
             self._predict_scaled_and_log(Xv_t, yv_arr)
         self.min_obj_ind = len(self.evals["COST"][1]) - 1
+        logger.close()
+        if checkpoint_path:
+            self.save(checkpoint_path)
         disp = self.verbose
         self.verbose = True
         self.message("-" * 19, "OPTIMIZATION RESULT", "-" * 20)

@@ -70,3 +70,23 @@ def test_checkpoint_resume_training():
     m2.optimize(max_iter=30)
     c2 = m2.evals["COST"][1][-1]
     assert np.isfinite(c2) and c2 <= c1 + 0.5  # continued, did not reset
+
+
+def test_jsonl_logging_and_auto_checkpoint(tmp_path):
+    import json as _json
+    from scfgp_tpu import SCFGP
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+
+    X, y = synthetic_gp_rff(n=150, d=3, s=3, m=8, seed=0)
+    log = str(tmp_path / "train.jsonl")
+    ckpt = str(tmp_path / "ckpt.pkl")
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    m.fit(X[:120], y[:120], X[120:], y[120:], max_iter=35,
+          log_file=log, checkpoint_path=ckpt, checkpoint_every=10)
+    lines = [\
+        _json.loads(l) for l in open(log)]
+    assert len(lines) == 35
+    assert {"iter", "t", "COST", "NMSE"} <= set(lines[0])
+    m2 = SCFGP().load(ckpt)
+    mu, _ = m2.predict(X[120:])
+    assert np.isfinite(mu).all()
