@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--samples", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--mode", choices=["fused", "host"], default=None,
+                    help="fused = whole sampler in one jit; host = jit one "
+                         "transition, adaptation on host (default: host on "
+                         "TPU, fused on CPU — the fused program is too "
+                         "large for some remote-compile TPU services)")
+    ap.add_argument("--skip-nuts", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -30,7 +36,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from scfgp_tpu.bayes import hmc_sample, nuts_sample, make_logposterior
+    from scfgp_tpu.bayes import (hmc_sample, hmc_sample_host_looped,
+                                 nuts_sample, make_logposterior)
     from scfgp_tpu.bayes.predictive import reduced_dim
     from scfgp_tpu.data.datasets import synthetic_gp_rff
     from scfgp_tpu.models.params import init_params, pack_params
@@ -45,16 +52,27 @@ def main():
     init = jnp.stack([pack_params(
         init_params(k, D, S, M, jnp.float32))[:P] for k in keys])
 
+    mode = args.mode or ("host" if jax.default_backend() == "tpu"
+                         else "fused")
+    benches = []
+    if mode == "host":
+        benches.append(("hmc", lambda q, k: hmc_sample_host_looped(
+            logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
+            num_integration_steps=16, init_step_size=0.003)))
+    else:
+        benches.append(("hmc", jax.jit(lambda q, k: hmc_sample(
+            logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
+            num_integration_steps=16, init_step_size=0.003))))
+    # NUTS stays fused (its tree loops need lax control flow); skip it on
+    # TPU by default — the doubly-nested while_loop program has pathological
+    # compile times on remote-compile services.
+    if not args.skip_nuts and mode == "fused":
+        benches.append(("nuts", jax.jit(lambda q, k: nuts_sample(
+            logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
+            max_depth=6, init_step_size=0.003))))
+
     results = {}
-    for name, fn in (
-        ("hmc", lambda q, k: hmc_sample(
-            logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
-            num_integration_steps=16, init_step_size=0.003)),
-        ("nuts", lambda q, k: nuts_sample(
-            logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
-            max_depth=6, init_step_size=0.003)),
-    ):
-        run = jax.jit(fn)
+    for name, run in benches:
         t0 = time.time()
         res = jax.block_until_ready(run(init, jax.random.PRNGKey(1)))
         compile_and_run = time.time() - t0
@@ -63,6 +81,7 @@ def main():
         dt = time.time() - t0
         total_draws = args.samples * args.chains
         results[name] = {
+            "mode": mode,
             "samples_per_s": round(total_draws / dt, 2),
             "accept_rate": round(float(res.accept_rate), 3),
             "chains": args.chains,

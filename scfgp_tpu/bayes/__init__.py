@@ -1,4 +1,5 @@
-from .hmc import hmc_sample, HMCResult
+from .hmc import (hmc_sample, hmc_sample_host_looped, make_hmc_transition,
+                  HMCResult)
 from .nuts import nuts_sample, NUTSResult
 from .vi import fit_vi, vi_sample, VIResult
 from .predictive import make_logposterior, predictive_mixture

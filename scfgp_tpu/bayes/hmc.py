@@ -118,6 +118,81 @@ class HMCResult(NamedTuple):
     inv_mass: jax.Array      # (P,)
 
 
+def make_hmc_transition(logdensity_fn: Callable, num_integration_steps: int):
+    """Build one jittable HMC transition ``(q, key, eps, inv_mass) ->
+    (q', logdens, accept_probs)`` over (chains, P) positions.
+
+    Exposed separately so callers can host-loop transitions with adaptation
+    outside the jit — the compile-friendly mode for environments where one
+    giant fused sampler program is too much for the compiler (e.g. remote-
+    compile TPU services); ``hmc_sample`` fuses everything instead.
+    """
+    vg = jax.vmap(jax.value_and_grad(logdensity_fn))
+
+    def kinetic(p, inv_mass):
+        return 0.5 * jnp.sum(p * p * inv_mass[None, :], axis=1)
+
+    def transition(q, key, eps, inv_mass):
+        C = q.shape[0]
+        k1, k2 = jax.random.split(key)
+        mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
+        p0 = jax.random.normal(k1, q.shape, q.dtype) * mass_sqrt[None, :]
+        ld0, _ = vg(q)
+        h0 = -ld0 + kinetic(p0, inv_mass)
+        q1, p1 = leapfrog(vg, q, p0, eps, inv_mass, num_integration_steps)
+        ld1, _ = vg(q1)
+        h1 = -ld1 + kinetic(p1, inv_mass)
+        log_accept = jnp.minimum(0.0, h0 - h1)
+        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
+        u = jax.random.uniform(k2, (C,))
+        accept = jnp.log(u) < log_accept
+        q_next = jnp.where(accept[:, None], q1, q)
+        ld_next = jnp.where(accept, ld1, ld0)
+        return q_next, ld_next, jnp.exp(log_accept)
+
+    return transition
+
+
+def hmc_sample_host_looped(logdensity_fn: Callable,
+                           init_positions: jax.Array, key: jax.Array,
+                           num_warmup: int = 500, num_samples: int = 500,
+                           num_integration_steps: int = 16,
+                           init_step_size: float = 0.01,
+                           target_accept: float = 0.8) -> HMCResult:
+    """Same sampler as ``hmc_sample`` with the transition jitted but the
+    adaptation loop on host: tiny compiled program, one dispatch per
+    transition.  Use when the fused program is too large to compile."""
+    import numpy as np
+
+    C, P = init_positions.shape
+    dtype = init_positions.dtype
+    transition = jax.jit(make_hmc_transition(logdensity_fn,
+                                             num_integration_steps))
+    q = init_positions
+    da = da_init(init_step_size, dtype)
+    wf = welford_init(P, dtype)
+    wf = WelfordState(wf.count, wf.mean, wf.m2 + 1.0)
+    keys = jax.random.split(key, num_warmup + num_samples)
+    for i in range(num_warmup):
+        eps = jnp.exp(da.log_eps)
+        inv_mass = welford_variance(wf)
+        q, ld, acc = transition(q, keys[i], eps, inv_mass)
+        da = da_update(da, jnp.mean(acc), target=target_accept)
+        wf = welford_add_batch(wf, q)
+    eps = jnp.exp(da.log_eps_avg)
+    inv_mass = welford_variance(wf)
+    samples, lds, accs = [], [], []
+    for i in range(num_warmup, num_warmup + num_samples):
+        q, ld, acc = transition(q, keys[i], eps, inv_mass)
+        samples.append(np.asarray(q))
+        lds.append(np.asarray(ld))
+        accs.append(float(jnp.mean(acc)))
+    return HMCResult(samples=jnp.asarray(np.stack(samples)),
+                     logdensities=jnp.asarray(np.stack(lds)),
+                     accept_rate=jnp.asarray(np.mean(accs)),
+                     step_size=eps, inv_mass=inv_mass)
+
+
 def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
                key: jax.Array, num_warmup: int = 500, num_samples: int = 500,
                num_integration_steps: int = 16, init_step_size: float = 0.01,

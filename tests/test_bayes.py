@@ -126,3 +126,14 @@ def test_chain_parallel_sharded_across_mesh():
     draws = np.asarray(res.samples).reshape(-1, 3)
     np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.2)
     assert 0.4 < float(res.accept_rate) <= 1.0
+
+
+def test_host_looped_hmc_matches_semantics():
+    from scfgp_tpu.bayes.hmc import hmc_sample_host_looped
+    res = hmc_sample_host_looped(
+        gauss_logpdf, _init(4, 5), jax.random.PRNGKey(7),
+        num_warmup=300, num_samples=500, num_integration_steps=12,
+        init_step_size=0.1)
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    assert 0.4 < float(res.accept_rate) <= 1.0
+    np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.25)
