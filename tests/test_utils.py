@@ -90,3 +90,17 @@ def test_jsonl_logging_and_auto_checkpoint(tmp_path):
     m2 = SCFGP().load(ckpt)
     mu, _ = m2.predict(X[120:])
     assert np.isfinite(mu).all()
+
+
+def test_visualizer_eval_plot_for_multidim_model(tmp_path):
+    from scfgp_tpu import SCFGP, Visualizer
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+
+    X, y = synthetic_gp_rff(n=150, d=3, s=3, m=8, seed=0)
+    viz = Visualizer(eval="NMSE")
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    m.set_data(X[:120], y[:120])
+    m.optimize(X[120:], y[120:], visualizer=viz, max_iter=35)
+    out = tmp_path / "evals.png"
+    viz.save(str(out))
+    assert out.stat().st_size > 10_000
