@@ -404,6 +404,10 @@ class SCFGP:
     def _predict_unscale(self, Xs_t):
         """Predict on pre-transformed inputs; un-scale with the half-range std
         approximation for nonlinear y-scalers (SCFGP.py:281-284)."""
+        if self.post is None:
+            raise RuntimeError(
+                "predict() before training: call fit()/optimize() first "
+                "(or load() a checkpoint with a stored posterior)")
         mu_f, std_f = _jitted_predict(self.params, self.post, Xs_t,
                                       basis_fn=self.extra_basis)
         mu_f = np.asarray(mu_f)[:, None]

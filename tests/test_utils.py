@@ -104,3 +104,31 @@ def test_visualizer_eval_plot_for_multidim_model(tmp_path):
     out = tmp_path / "evals.png"
     viz.save(str(out))
     assert out.stat().st_size > 10_000
+
+
+def test_predict_before_fit_raises_clearly():
+    from scfgp_tpu import SCFGP
+    m = SCFGP(sparsity=4, nfeats=8)
+    m.set_data(np.random.rand(50, 3), np.random.rand(50))
+    with pytest.raises(RuntimeError, match="before training"):
+        m.predict(np.random.rand(5, 3))
+
+
+def test_float64_model_end_to_end():
+    import jax.numpy as jnp
+    from scfgp_tpu import SCFGP
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    X, y = synthetic_gp_rff(n=150, d=3, s=3, m=8, seed=0)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0, dtype=jnp.float64)
+    m.fit(X[:120], y[:120], X[120:], y[120:], max_iter=40)
+    assert m.params.l_F.dtype == jnp.float64
+    assert np.isfinite(m.evals["NMSE"][1][m.min_obj_ind])
+
+
+def test_scaler_1d_input():
+    from scfgp_tpu.data.scaler import Scaler
+    y = np.random.RandomState(0).gamma(2.0, 1.0, 200)
+    sc = Scaler("auto-normal").fit(y)
+    ty = np.asarray(sc.forward_transform(y))
+    back = np.asarray(sc.backward_transform(ty)).ravel()
+    np.testing.assert_allclose(back, y, rtol=1e-5, atol=1e-6)
