@@ -187,8 +187,15 @@ _chol_pallas.defvjp(_chol_fwd, _chol_bwd)
 def cholesky_pallas(A, interpret=None):
     """Lower Cholesky factor of SPD ``A`` via the blocked Pallas kernel.
 
-    Differentiable (standard closed-form VJP).  ``interpret=None`` auto-
-    selects interpreter mode off TPU."""
+    Differentiable (standard closed-form VJP).  ``interpret=None`` selects
+    interpreter mode EVERYWHERE by default: the compiled kernel's triple-
+    nested loop structure has shown pathological (>35 min, service-jamming)
+    Mosaic compile times on remote-compile TPU setups (docs/TODO.md item 1).
+    Opt in to on-chip compilation with ``interpret=False`` or
+    ``SCFGP_PALLAS_CHOL_COMPILE=1`` once the kernel is restructured to a
+    sequential grid."""
     if interpret is None:
-        interpret = not _on_tpu()
+        import os
+        compiled_ok = os.environ.get("SCFGP_PALLAS_CHOL_COMPILE") == "1"
+        interpret = not (_on_tpu() and compiled_ok)
     return _chol_pallas(interpret, A)
