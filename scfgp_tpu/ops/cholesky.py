@@ -1,27 +1,43 @@
 """Pallas TPU kernel: blocked Cholesky factorization (SURVEY.md §2.2 kernel 3).
 
-Right-looking blocked algorithm, entirely in VMEM (the SCFGP Gram is
-2(S+M) x 2(S+M) — a few MB at most — so the whole matrix fits on-chip):
+Right-looking blocked algorithm as a **sequential Pallas grid over block
+columns** (``grid=(n_blocks,)``): the working matrix is one VMEM-resident
+output block (constant index map, so it persists across grid steps — the
+standard revisited-accumulator pattern), and each grid step is a *small*
+program:
 
-  for each 128-wide diagonal block k:
-    1. unblocked Cholesky of the diagonal block (sequential over its
-       columns; VPU rank-1 updates),
-    2. panel triangular solve  L[k+1:, k] = A[k+1:, k] L_kk^{-T}
-       (sequential over the 128 columns; masked mat-vecs),
-    3. trailing SYRK update    A[k+1:, k+1:] -= L[k+1:, k] L[k+1:, k]^T
-       on the MXU — where the FLOPs are.
+  1. unblocked Cholesky of the 128x128 diagonal block k (sequential over
+     its columns; VPU rank-1 updates),
+  2. forward-substitution inverse ``Likk = Lkk^{-1}`` of that block
+     (sequential over its 128 rows),
+  3. panel "solve" as ONE MXU matmul: ``P = C @ Likk^T`` on the full
+     (Np, 128) column block, masked to rows below the diagonal block,
+  4. trailing SYRK update as ONE MXU matmul: ``A -= P @ P^T`` (P is zero
+     on rows <= the diagonal block, so this touches only the trailing
+     submatrix).
 
-The backward pass is the standard closed-form Cholesky VJP assembled from
-XLA triangular solves (level-3 math; no need for a hand-written kernel):
+This shape exists because the previous whole-matrix kernel — a triple-nested
+``fori_loop`` over (block column, block row, block col) with per-block
+dynamic slices — never finished compiling through a remote Mosaic service
+(>35 min; docs/TODO.md round-1 item 1).  The grid version compiles one small
+step program executed ``n_blocks`` times, keeps the FLOPs in two large MXU
+contractions per step, and has no nested block loops at all.
 
-    P    = copyltu(L^T Lbar) with diagonal halved
-    Abar = L^{-T} P L^{-1}, symmetrized to the lower triangle's cotangent.
+The SCFGP Gram is 2(S+M) x 2(S+M) — a few hundred rows for every reference
+config — so whole-matrix VMEM residency is cheap (f32 capacity bound:
+Np <= ~1280 with separate in/out blocks on a 16 MB-VMEM chip).
+
+The backward pass delegates to XLA's own Cholesky VJP on the reconstructed
+input (A = L L^T): guaranteed-consistent cotangents for one extra small
+factorization.
 
 ``solve_posterior`` keeps XLA's ``lax.linalg.cholesky`` as the default (the
 survey's own guidance: fall back until the kernel wins); this kernel is the
-opt-in ``chol_impl='pallas'`` path and the building block for K beyond
-XLA's comfort zone.  Interpreter mode makes the identical kernel CPU-
-testable.
+opt-in ``chol_impl='pallas'`` path and the building block for K beyond XLA's
+comfort zone.  Interpreter mode makes the identical kernel CPU-testable.
+
+Reference being replaced: ``theano.sandbox.linalg.cholesky`` at
+``reference: SCFGP/SCFGP.py:106``.
 """
 
 from __future__ import annotations
@@ -38,110 +54,71 @@ from .phi import _on_tpu, _round_up, _pad_axis
 BLK = 128
 
 
-def _chol_kernel(a_ref, out_ref, *, n_blocks):
-    """In-VMEM blocked Cholesky; a_ref/out_ref are the full (Np, Np) matrix."""
-    out_ref[:] = a_ref[:]
+def _chol_step_kernel(a_ref, out_ref):
+    """One block column of the right-looking factorization (grid step k)."""
+    k = pl.program_id(0)
+    off = k * BLK
+    n_p = out_ref.shape[0]
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = a_ref[:]
 
     # Mosaic cannot lower dynamic_slice on VALUES (only on refs), so every
-    # traced-index column access below is a masked whole-block reduction.
+    # traced-index column/row access below is a masked whole-block reduction.
+    # All intermediates stay 2-D — Mosaic's 1-D vector relayouts are buggy
+    # ("Invalid relayout ... replicated in destination but not in source").
     rows2d = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
     cols2d = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-
-    # All intermediates stay 2-D ((BLK,1) columns / (1,BLK) rows) — Mosaic's
-    # 1-D vector relayouts are buggy ("Invalid relayout ... replicated in
-    # destination but not in source").
     rowcol = jax.lax.broadcasted_iota(jnp.int32, (BLK, 1), 0)   # (BLK, 1)
     colrow = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)   # (1, BLK)
 
+    # -- 1. unblocked Cholesky of the diagonal block ------------------------
     def col_factor(j, blk):
-        """One column of the unblocked diagonal-block Cholesky."""
         colm = jnp.sum(jnp.where(cols2d == j, blk, 0.0),
                        axis=1, keepdims=True)                    # blk[:, j]
         diag2 = jnp.sum(jnp.where(
             jnp.logical_and(rows2d == j, cols2d == j), blk, 0.0))
         diag = jnp.sqrt(jnp.maximum(diag2, 1e-30))
         newcol = jnp.where(rowcol >= j, colm / diag, 0.0)        # (BLK, 1)
-        # rank-1 update of the remaining columns: A -= newcol newcol^T on
-        # columns > j only.
+        # rank-1 update of the remaining columns (> j) only.
         upd = blk - (newcol * newcol.T) * (cols2d > j)
         return jnp.where(cols2d == j, newcol, upd)
 
-    def panel_solve_col(j, carry):
-        """Column j of B := A L_kk^{-T} for the sub-diagonal panel."""
-        B, A, Lkk = carry
-        # b_j = (a_j - B @ Lkk[j, :j]) / Lkk[j, j]
+    blk = out_ref[pl.ds(off, BLK), pl.ds(off, BLK)]
+    Lkk = jax.lax.fori_loop(0, BLK, col_factor, blk)
+
+    # -- 2. Likk = Lkk^{-1} by forward substitution, row by row -------------
+    # X[j, :] = (e_j - Lkk[j, :j] @ X) / Lkk[j, j]
+    def inv_row(j, X):
         lrow = jnp.sum(jnp.where(rows2d == j, Lkk, 0.0),
                        axis=0, keepdims=True)                    # (1, BLK)
         ljj = jnp.sum(jnp.where(
             jnp.logical_and(rows2d == j, cols2d == j), Lkk, 0.0))
         lrow = jnp.where(colrow < j, lrow, 0.0)
-        aj = jnp.sum(jnp.where(cols2d == j, A, 0.0),
-                     axis=1, keepdims=True)                      # (BLK, 1)
-        bj = (aj - jnp.dot(B, lrow.T,
-                           preferred_element_type=jnp.float32).astype(
-                               B.dtype)) / ljj
-        B = jnp.where(cols2d == j, bj, B)
-        return (B, A, Lkk)
+        acc = jnp.dot(lrow, X, preferred_element_type=jnp.float32)
+        ej = jnp.where(colrow == j, 1.0, 0.0).astype(X.dtype)
+        xj = (ej - acc.astype(X.dtype)) / ljj
+        return jnp.where(rows2d == j, xj, X)
 
-    def block_step(k, _):
-        off = k * BLK
-        # 1. diagonal block factorization
-        blk = out_ref[pl.ds(off, BLK), pl.ds(off, BLK)]
-        blk = jax.lax.fori_loop(0, BLK, col_factor, blk)
-        out_ref[pl.ds(off, BLK), pl.ds(off, BLK)] = blk
+    Likk = jax.lax.fori_loop(0, BLK, inv_row, jnp.zeros_like(Lkk))
 
-        # 2 + 3. panel solve and SYRK update for every later block-row.
-        def tail(i, _):
-            roff = i * BLK
+    # -- 3. panel solve: ONE (Np, BLK) x (BLK, BLK) MXU matmul --------------
+    rowsN = jax.lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
+    C = out_ref[:, pl.ds(off, BLK)]
+    P = jnp.dot(C, Likk.T, preferred_element_type=jnp.float32).astype(C.dtype)
+    P = jnp.where(rowsN >= off + BLK, P, 0.0)
 
-            @pl.when(i > k)
-            def _():
-                A_panel = out_ref[pl.ds(roff, BLK), pl.ds(off, BLK)]
-                B0 = jnp.zeros((BLK, BLK), A_panel.dtype)
-                B, _, _ = jax.lax.fori_loop(
-                    0, BLK, panel_solve_col, (B0, A_panel, blk))
-                out_ref[pl.ds(roff, BLK), pl.ds(off, BLK)] = B
+    # Finished column block: zeros above, Lkk on the diagonal block, P below.
+    out_ref[:, pl.ds(off, BLK)] = P
+    out_ref[pl.ds(off, BLK), pl.ds(off, BLK)] = Lkk
 
-            return 0
-
-        jax.lax.fori_loop(0, n_blocks, tail, 0)
-
-        def syrk(i, _):
-            roff = i * BLK
-
-            @pl.when(i > k)
-            def _():
-                Li_k = out_ref[pl.ds(roff, BLK), pl.ds(off, BLK)]
-
-                def inner(jj, _):
-                    coff = jj * BLK
-
-                    @pl.when(jnp.logical_and(jj > k, jj <= i))
-                    def _():
-                        Lj_k = out_ref[pl.ds(coff, BLK), pl.ds(off, BLK)]
-                        acc = out_ref[pl.ds(roff, BLK), pl.ds(coff, BLK)]
-                        out_ref[pl.ds(roff, BLK), pl.ds(coff, BLK)] = (
-                            acc - jax.lax.dot_general(
-                                Li_k, Lj_k,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32
-                            ).astype(acc.dtype))
-
-                    return 0
-
-                jax.lax.fori_loop(0, n_blocks, inner, 0)
-
-            return 0
-
-        jax.lax.fori_loop(0, n_blocks, syrk, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n_blocks, block_step, 0)
-
-    # zero strict upper triangle
-    rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
-    out_ref[:] = jnp.where(rows >= cols, out_ref[:], 0.0)
+    # -- 4. trailing SYRK: ONE (Np, BLK) x (BLK, Np) MXU matmul -------------
+    # P is zero for rows <= off + BLK, so P @ P^T only touches the trailing
+    # submatrix; subtracting it from the whole block is a no-op elsewhere.
+    T = jax.lax.dot_general(P, P, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    out_ref[:] = out_ref[:] - T.astype(out_ref.dtype)
 
 
 def _chol_call(A, interpret):
@@ -152,10 +129,12 @@ def _chol_call(A, interpret):
         # keep padded diagonal positive so sqrt stays clean
         idx = jnp.arange(n, Np)
         Ap = Ap.at[idx, idx].set(1.0)
+    full = pl.BlockSpec((Np, Np), lambda k: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_chol_kernel, n_blocks=Np // BLK),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        _chol_step_kernel,
+        grid=(Np // BLK,),
+        in_specs=[full],
+        out_specs=full,
         out_shape=jax.ShapeDtypeStruct((Np, Np), A.dtype),
         interpret=interpret,
     )(Ap)
@@ -188,12 +167,12 @@ def cholesky_pallas(A, interpret=None):
     """Lower Cholesky factor of SPD ``A`` via the blocked Pallas kernel.
 
     Differentiable (standard closed-form VJP).  ``interpret=None`` selects
-    interpreter mode EVERYWHERE by default: the compiled kernel's triple-
-    nested loop structure has shown pathological (>35 min, service-jamming)
-    Mosaic compile times on remote-compile TPU setups (docs/TODO.md item 1).
-    Opt in to on-chip compilation with ``interpret=False`` or
-    ``SCFGP_PALLAS_CHOL_COMPILE=1`` once the kernel is restructured to a
-    sequential grid."""
+    interpreter mode everywhere by default; opt in to on-chip compilation
+    with ``interpret=False`` or ``SCFGP_PALLAS_CHOL_COMPILE=1``.  (The
+    pre-restructure whole-matrix kernel jammed remote Mosaic services —
+    docs/TODO.md item 1; this sequential-grid version compiles one small
+    step program, but stays opt-in until measured on the target service.)
+    """
     if interpret is None:
         import os
         compiled_ok = os.environ.get("SCFGP_PALLAS_CHOL_COMPILE") == "1"

@@ -15,7 +15,7 @@ def _spd(n, seed=0, dtype=jnp.float32):
     return jnp.asarray(A, dtype)
 
 
-@pytest.mark.parametrize("n", [128, 256, 200])  # incl. a padded size
+@pytest.mark.parametrize("n", [128, 256, 200, 384])  # incl. padded + 3-block
 def test_forward_matches_xla(n):
     A = _spd(n)
     L_ref = np.linalg.cholesky(np.asarray(A, np.float64))
