@@ -1,5 +1,6 @@
 from .hmc import (hmc_sample, hmc_sample_host_looped, make_hmc_transition,
                   HMCResult)
-from .nuts import nuts_sample, NUTSResult
+from .nuts import (nuts_sample, nuts_sample_host_looped, nuts_sample_static,
+                   NUTSResult)
 from .vi import fit_vi, vi_sample, VIResult
 from .predictive import make_logposterior, predictive_mixture

@@ -289,3 +289,182 @@ def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
     return NUTSResult(samples=samples, logdensities=lds,
                       accept_rate=jnp.mean(accs), step_size=eps,
                       inv_mass=inv_mass, mean_depth=jnp.mean(depths))
+
+
+def nuts_sample_host_looped(logdensity_fn: Callable,
+                            init_positions: jax.Array, key: jax.Array,
+                            num_warmup: int = 500, num_samples: int = 500,
+                            max_depth: int = 8,
+                            init_step_size: float = 0.01,
+                            target_accept: float = 0.8) -> NUTSResult:
+    """Iterative NUTS with the per-step transition jitted but the adaptation
+    loop on host (mirrors ``hmc_sample_host_looped``): the compiled program
+    is ONE vmapped transition instead of a scan over the whole run — the
+    compile-friendly mode for remote-compile TPU services (docs/TODO.md
+    round-1 item 3)."""
+    import numpy as np
+
+    C, P = init_positions.shape
+    dtype = init_positions.dtype
+    vg = jax.value_and_grad(logdensity_fn)
+
+    @jax.jit
+    def transition_all(q, key, eps, inv_mass):
+        keys = jax.random.split(key, C)
+        return jax.vmap(
+            lambda z, k: _nuts_transition(vg, z, k, eps, inv_mass, max_depth)
+        )(q, keys)
+
+    q = init_positions
+    da = da_init(init_step_size, dtype)
+    wf = welford_init(P, dtype)
+    wf = WelfordState(wf.count, wf.mean, wf.m2 + 1.0)
+    keys = jax.random.split(key, num_warmup + num_samples)
+    for i in range(num_warmup):
+        eps = jnp.exp(da.log_eps)
+        inv_mass = welford_variance(wf)
+        q, ld, acc, depth = transition_all(q, keys[i], eps, inv_mass)
+        da = da_update(da, jnp.mean(acc), target=target_accept)
+        wf = welford_add_batch(wf, q)
+    eps = jnp.exp(da.log_eps_avg)
+    inv_mass = welford_variance(wf)
+    samples, lds, accs, depths = [], [], [], []
+    for i in range(num_warmup, num_warmup + num_samples):
+        q, ld, acc, depth = transition_all(q, keys[i], eps, inv_mass)
+        samples.append(np.asarray(q))
+        lds.append(np.asarray(ld))
+        accs.append(float(jnp.mean(acc)))
+        depths.append(float(jnp.mean(depth.astype(jnp.float32))))
+    return NUTSResult(samples=jnp.asarray(np.stack(samples)),
+                      logdensities=jnp.asarray(np.stack(lds)),
+                      accept_rate=jnp.asarray(np.mean(accs)),
+                      step_size=eps, inv_mass=inv_mass,
+                      mean_depth=jnp.asarray(np.mean(depths)))
+
+
+# --- Static-trajectory multinomial sampler (scan-only program) --------------
+
+
+def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
+    """One fixed-budget multinomial-HMC transition for a single chain.
+
+    NUTS with a trivial stopping rule: always perform ``depth`` doublings
+    (2^depth - 1 leapfrog steps total), progressive-multinomial-sample along
+    the trajectory with the same leaf weights ``exp(-(H_leaf - H_0))`` and
+    the same biased subtree-merge kernel as ``_nuts_transition``, but with
+    NO U-turn checks and NO early exit.  Dropping the dynamic stopping rule
+    keeps the proposal distribution valid (the stopping rule of multinomial
+    NUTS may be arbitrary as long as it does not depend on the sampled
+    proposal; a constant rule trivially qualifies) and turns the whole
+    transition into unrolled ``lax.scan``s — no ``while_loop`` anywhere, so
+    the fused sampler compiles where iterative NUTS exceeds the compiler
+    (docs/TODO.md round-1 item 3).  Divergent leaves get -inf weight instead
+    of stopping integration.
+    """
+    k_mom, k_loop = jax.random.split(key)
+    mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
+    r0 = jax.random.normal(k_mom, z0.shape, z0.dtype) * mass_sqrt
+    ld0, _ = ld_grad(z0)
+    h0 = -ld0 + 0.5 * jnp.sum(r0 * r0 * inv_mass)
+
+    dt = z0.dtype
+    z_minus, r_minus, z_plus, r_plus = z0, r0, z0, r0
+    z_prop, ld_prop = z0, ld0.astype(dt)
+    log_w = jnp.zeros((), dt)          # initial point carries weight 1
+    sum_acc = jnp.zeros((), dt)
+
+    def leaf(carry, kleaf):
+        z, r, log_w_s, z_p, ld_p, sum_a, eps_signed = carry
+        z, r, ld = _leapfrog_1(ld_grad, z, r, eps_signed, inv_mass)
+        energy = -ld + 0.5 * jnp.sum(r * r * inv_mass)
+        delta = energy - h0
+        diverging = jnp.logical_or(~jnp.isfinite(delta),
+                                   delta > MAX_DELTA_ENERGY)
+        log_w_leaf = jnp.where(diverging, -jnp.inf, -delta).astype(dt)
+        accept = jnp.where(diverging, 0.0,
+                           jnp.minimum(1.0, jnp.exp(-delta))).astype(dt)
+        log_w_new = jnp.logaddexp(log_w_s, log_w_leaf)
+        take = jnp.log(jax.random.uniform(kleaf)) < (log_w_leaf - log_w_new)
+        z_p = jnp.where(take, z, z_p)
+        ld_p = jnp.where(take, ld.astype(dt), ld_p)
+        return (z, r, log_w_new, z_p, ld_p, sum_a + accept, eps_signed), None
+
+    for j in range(depth):  # static unroll over doublings
+        k_loop, k_dir, k_sub, k_merge = jax.random.split(k_loop, 4)
+        go_right = jax.random.bernoulli(k_dir)
+        eps_signed = jnp.where(go_right, eps, -eps)
+        edge_z = jnp.where(go_right, z_plus, z_minus)
+        edge_r = jnp.where(go_right, r_plus, r_minus)
+
+        init = (edge_z, edge_r, jnp.asarray(-jnp.inf, dt), edge_z,
+                jnp.asarray(-jnp.inf, dt), jnp.zeros((), dt), eps_signed)
+        (z_end, r_end, log_w_s, z_ps, ld_ps, sum_a, _), _ = jax.lax.scan(
+            leaf, init, jax.random.split(k_sub, 1 << j))
+
+        # Biased progressive merge of the new subtree (as in NUTS).
+        take = jnp.log(jax.random.uniform(k_merge)) < (log_w_s - log_w)
+        z_prop = jnp.where(take, z_ps, z_prop)
+        ld_prop = jnp.where(take, ld_ps, ld_prop)
+        log_w = jnp.logaddexp(log_w, log_w_s)
+        sum_acc = sum_acc + sum_a
+
+        z_plus = jnp.where(go_right, z_end, z_plus)
+        r_plus = jnp.where(go_right, r_end, r_plus)
+        z_minus = jnp.where(go_right, z_minus, z_end)
+        r_minus = jnp.where(go_right, r_minus, r_end)
+
+    accept_stat = sum_acc / ((1 << depth) - 1)
+    return z_prop, ld_prop, accept_stat
+
+
+def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
+                       key: jax.Array, num_warmup: int = 500,
+                       num_samples: int = 500, depth: int = 6,
+                       init_step_size: float = 0.01,
+                       target_accept: float = 0.8) -> NUTSResult:
+    """Fixed-budget multinomial sampler, fully fused (scan of scans).
+
+    Same warmup adaptation as ``nuts_sample`` (cross-chain dual averaging +
+    Welford mass); every transition costs exactly ``2^depth - 1`` leapfrog
+    steps, so per-chain work is static — the whole run is one XLA program of
+    nested ``lax.scan``s, the same program shape as the fused HMC sampler
+    that the remote TPU compiler already handles (docs/RESULTS.md)."""
+    C, P = init_positions.shape
+    vg = jax.value_and_grad(logdensity_fn)
+
+    def transition_all(q, key, eps, inv_mass):
+        keys = jax.random.split(key, C)
+        return jax.vmap(
+            lambda z, k: _static_transition(vg, z, k, eps, inv_mass, depth)
+        )(q, keys)
+
+    def warmup_step(carry, key):
+        q, da, wf = carry
+        eps = jnp.exp(da.log_eps)
+        inv_mass = welford_variance(wf)
+        q, ld, acc = transition_all(q, key, eps, inv_mass)
+        da = da_update(da, jnp.mean(acc), target=target_accept)
+        wf = welford_add_batch(wf, q)
+        return (q, da, wf), None
+
+    dtype = init_positions.dtype
+    keys = jax.random.split(key, num_warmup + num_samples + 1)
+    wf0 = welford_init(P, dtype)
+    wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
+    (q, da, wf), _ = jax.lax.scan(
+        warmup_step, (init_positions, da_init(init_step_size, dtype), wf0),
+        keys[:num_warmup])
+
+    eps = jnp.exp(da.log_eps_avg)
+    inv_mass = welford_variance(wf)
+
+    def sample_step(q, key):
+        q, ld, acc = transition_all(q, key, eps, inv_mass)
+        return q, (q, ld, jnp.mean(acc))
+
+    q, (samples, lds, accs) = jax.lax.scan(
+        sample_step, q, keys[num_warmup:num_warmup + num_samples])
+    return NUTSResult(samples=samples, logdensities=lds,
+                      accept_rate=jnp.mean(accs), step_size=eps,
+                      inv_mass=inv_mass,
+                      mean_depth=jnp.asarray(float(depth)))

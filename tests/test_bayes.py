@@ -128,6 +128,28 @@ def test_chain_parallel_sharded_across_mesh():
     assert 0.4 < float(res.accept_rate) <= 1.0
 
 
+def test_static_nuts_recovers_gaussian_moments():
+    from scfgp_tpu.bayes import nuts_sample_static
+    res = jax.jit(lambda q, k: nuts_sample_static(
+        gauss_logpdf, q, k, num_warmup=400, num_samples=800,
+        depth=5, init_step_size=0.1))(_init(4), jax.random.PRNGKey(11))
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    assert 0.5 < float(res.accept_rate) <= 1.0
+    np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(np.cov(draws.T), COV, atol=0.5)
+
+
+def test_host_looped_nuts_matches_semantics():
+    from scfgp_tpu.bayes import nuts_sample_host_looped
+    res = nuts_sample_host_looped(
+        gauss_logpdf, _init(4, 6), jax.random.PRNGKey(12),
+        num_warmup=150, num_samples=250, max_depth=6, init_step_size=0.1)
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    assert 0.5 < float(res.accept_rate) <= 1.0
+    assert float(res.mean_depth) >= 1.0
+    np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.3)
+
+
 def test_host_looped_hmc_matches_semantics():
     from scfgp_tpu.bayes.hmc import hmc_sample_host_looped
     res = hmc_sample_host_looped(
