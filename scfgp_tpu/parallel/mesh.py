@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+FEATURE_AXIS = "feature"
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -23,6 +24,23 @@ def make_mesh(devices: Optional[Sequence] = None,
     """1-D mesh over the given (default: all) devices."""
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.array(devices), (axis_name,))
+
+
+def make_mesh2d(n_data: int, n_feature: int,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (data, feature) mesh for combined data + tensor parallelism.
+
+    On real hardware, lay the ``feature`` axis innermost (adjacent devices)
+    so the per-step feature-axis collectives (all_gather of the Phi strips,
+    psum of Gram block-columns — ``parallel/tp.py``) ride the fastest ICI
+    links, while the once-per-step scalar-dominated ``data`` psum crosses
+    the outer axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) >= n_data * n_feature, (
+        f"need {n_data * n_feature} devices, have {len(devices)}")
+    grid = np.array(devices[:n_data * n_feature]).reshape(n_data, n_feature)
+    return Mesh(grid, (DATA_AXIS, FEATURE_AXIS))
 
 
 def pad_rows(X: np.ndarray, y: np.ndarray, multiple: int):
