@@ -102,19 +102,37 @@ def fourier_features(p: SCFGPParams, X: jax.Array,
     return scale * Phi
 
 
+def _gemm(a: jax.Array, b: jax.Array, mm_dtype=None) -> jax.Array:
+    """GEMM with optional reduced-precision MXU inputs, f32 accumulation.
+
+    ``mm_dtype=jnp.bfloat16`` feeds the MXU its native input type (v5e runs
+    bf16 matmuls at 2x the f32 rate) while accumulating in float32; the
+    result is cast back to the operand dtype.  ``None`` keeps full-precision
+    inputs.  Only the two O(N K^2) GEMMs of the objective opt in — the trig
+    projection stays full precision (bf16 rounding of the phase argument
+    would inject O(1e-2) feature noise, while Gram/variance entries degrade
+    gracefully; measured accuracy impact documented in docs/DESIGN.md).
+    """
+    if mm_dtype is None:
+        return jnp.dot(a, b, preferred_element_type=a.dtype)
+    return jnp.dot(a.astype(mm_dtype), b.astype(mm_dtype),
+                   preferred_element_type=jnp.float32).astype(a.dtype)
+
+
 def sufficient_stats(Phi: jax.Array, y: jax.Array,
-                     w: Optional[jax.Array] = None) -> SufficientStats:
+                     w: Optional[jax.Array] = None,
+                     mm_dtype=None) -> SufficientStats:
     """Accumulate the row-sum statistics (optionally weighted for padding)."""
     y = y.reshape(-1)
     if w is None:
-        phiTphi = jnp.dot(Phi.T, Phi, preferred_element_type=Phi.dtype)
+        phiTphi = _gemm(Phi.T, Phi, mm_dtype)
         phiTy = Phi.T @ y
         yTy = jnp.sum(y * y)
         n = jnp.asarray(Phi.shape[0], Phi.dtype)
     else:
         w = w.reshape(-1).astype(Phi.dtype)
         Phiw = Phi * w[:, None]
-        phiTphi = jnp.dot(Phi.T, Phiw, preferred_element_type=Phi.dtype)
+        phiTphi = _gemm(Phi.T, Phiw, mm_dtype)
         phiTy = Phi.T @ (w * y)
         yTy = jnp.sum(w * y * y)
         n = jnp.sum(w)
@@ -143,14 +161,14 @@ def solve_posterior(stats: SufficientStats, sig2_n: jax.Array,
                      log_diag_L=jnp.log(jnp.diagonal(L)))
 
 
-def latent_moments(Phi: jax.Array, post: Posterior):
+def latent_moments(Phi: jax.Array, post: Posterior, mm_dtype=None):
     """Per-row posterior mean and variance of the latent f (SCFGP.py:111-112).
 
     ``var_f = rowsum((Phi @ Li^T)^2)`` — a GEMM against the small Li, MXU-
     friendly, instead of an N-sized triangular solve.
     """
     mu_f = Phi @ post.alpha
-    PhiLiT = jnp.dot(Phi, post.Li.T, preferred_element_type=Phi.dtype)
+    PhiLiT = _gemm(Phi, post.Li.T, mm_dtype)
     var_f = jnp.sum(PhiLiT * PhiLiT, axis=1)
     return mu_f, var_f
 
@@ -196,7 +214,8 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
             w: Optional[jax.Array] = None,
             axis_name: Optional[str] = None,
             feature_impl: str = "xla",
-            basis_fn=None):
+            basis_fn=None,
+            mm_dtype=None):
     """Full SCFGP training objective: ``cost = (nlml + penalty) / N``.
 
     Mirrors ``SCFGP.py:92-128`` term by term (including the reference's
@@ -206,6 +225,10 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
     With ``axis_name`` set (inside ``shard_map`` over a data-sharded mesh),
     the sufficient statistics and the expected-NLL row sum are ``psum``-ed, so
     the sharded loss is bitwise the same math as single-device full batch.
+
+    ``mm_dtype=jnp.bfloat16`` runs the two O(N K^2) GEMMs (Gram, latent
+    variance) with bf16 MXU inputs + f32 accumulation — ~2x MXU rate on v5e
+    at a small, measured accuracy cost (see ``_gemm``).
 
     Returns ``(cost, LossAux)``; use with ``jax.value_and_grad(..., has_aux=True)``.
     """
@@ -220,12 +243,12 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
         # space posterior handles them like any other feature; the nlml's
         # M-dependent terms keep the reference definitions.
         Phi = jnp.concatenate([Phi, basis_fn(X).astype(Phi.dtype)], axis=1)
-    stats = sufficient_stats(Phi, y, w)
+    stats = sufficient_stats(Phi, y, w, mm_dtype=mm_dtype)
     if axis_name is not None:
         stats = psum_stats(stats, axis_name)
     post = solve_posterior(stats, sig2_n)
 
-    mu_f, var_f = latent_moments(Phi, post)
+    mu_f, var_f = latent_moments(Phi, post, mm_dtype=mm_dtype)
     enll_rows = expected_nll_rows(mu_f, var_f, y, noise)
     if w is not None:
         enll_rows = enll_rows * w.reshape(-1).astype(enll_rows.dtype)

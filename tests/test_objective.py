@@ -140,3 +140,28 @@ def test_phase_parameters_are_pure_gauge():
     g = jax.grad(lambda q: loss_fn(q, X, y)[0])(params)
     np.testing.assert_allclose(np.asarray(g.phase), 0.0, atol=1e-15)
     np.testing.assert_allclose(np.asarray(g.l_phase), 0.0, atol=1e-15)
+
+
+def test_bf16_gemm_option_close_to_f32():
+    """mm_dtype=bfloat16 (MXU-native Gram/variance GEMMs with f32 accum)
+    must stay close to the f32 objective: small relative cost error and a
+    near-parallel gradient."""
+    import jax.numpy as jnp
+    from scfgp_tpu.models.objective import loss_fn
+    from scfgp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(3)
+    X = jnp.asarray(rng.rand(512, 6), jnp.float32)
+    y = jnp.asarray(rng.randn(512), jnp.float32)
+    p = init_params(jax.random.PRNGKey(3), 6, 5, 20, jnp.float32)
+
+    c32, _ = loss_fn(p, X, y)
+    c16, _ = loss_fn(p, X, y, mm_dtype=jnp.bfloat16)
+    assert abs(float(c16) - float(c32)) / abs(float(c32)) < 2e-2
+
+    g32 = jax.grad(lambda q: loss_fn(q, X, y)[0])(p)
+    g16 = jax.grad(lambda q: loss_fn(q, X, y, mm_dtype=jnp.bfloat16)[0])(p)
+    v32 = np.concatenate([np.asarray(t).ravel() for t in jax.tree.leaves(g32)])
+    v16 = np.concatenate([np.asarray(t).ravel() for t in jax.tree.leaves(g16)])
+    cos = float(v32 @ v16 / (np.linalg.norm(v32) * np.linalg.norm(v16)))
+    assert cos > 0.99, f"bf16 gradient diverged from f32 (cos={cos:.4f})"
