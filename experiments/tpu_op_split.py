@@ -1,0 +1,104 @@
+"""Where does the training step spend its time? (TODO round-1 item 6)
+
+The tensorboard profiler plugin is not installable offline, so instead of a
+trace this times each pipeline stage as its own scan-chained jitted program
+(same shapes/dtypes as the full step) and prints one JSON line per stage:
+
+  phi        feature map Phi = scale * [cos|sin](X @ Fcat + p)      (VPU+MXU)
+  gram       sufficient stats Phi^T Phi, Phi^T y                    (MXU)
+  chol       posterior solve: cholesky + triangular inverse (2K)    (serial)
+  latent     mu_f, var_f GEMMs against Li                           (MXU)
+  forward    full loss_fn
+  step       full loss + grad + adam update (the bench.py unit)
+
+Stage times cannot be read as an exact partition of the step (XLA fuses
+across stage boundaries in the full program), but they bound which stage is
+the roofline.  argv: [N D S M STEPS], defaults to the bench config.
+
+Run alone — one TPU client at a time (CLAUDE.md).
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+if "cpu" in sys.argv:  # validation mode (JAX_PLATFORMS env is ignored here)
+    sys.argv.remove("cpu")
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from scfgp_tpu.models.params import init_params, derive_frequencies
+from scfgp_tpu.models import objective as obj
+from scfgp_tpu.opt.optimizers import make_optimizer, tree_add
+
+N, D, S, M, STEPS = (int(a) for a in sys.argv[1:6]) if len(sys.argv) > 5 \
+    else (8192, 8, 50, 200, 50)
+
+rng = np.random.RandomState(0)
+X = jnp.asarray(rng.rand(N, D), jnp.float32)
+y = jnp.asarray(np.sin(rng.rand(N) * 6) + 0.1 * rng.randn(N), jnp.float32)
+params = init_params(jax.random.PRNGKey(0), D, S, M, jnp.float32)
+tx = make_optimizer("adam", {"learning_rate": 0.01})
+opt_state = tx.init(params)
+
+Phi_const = obj.fourier_features(params, X)
+stats_const = obj.sufficient_stats(Phi_const, y)
+post_const = obj.solve_posterior(stats_const, jnp.exp(2.0 * params.a))
+
+
+def timed(name, fn):
+    """Scan-chain STEPS executions of fn(eps) inside one jit; report ms/call.
+
+    ``fn`` takes a scalar the caller folds into an input so XLA cannot hoist
+    the body out of the scan as loop-invariant.
+    """
+
+    def one(carry, _):
+        out = fn(carry)
+        probe = jax.tree.leaves(out)[0]
+        return jnp.asarray(probe, jnp.float32).ravel()[0] * 1e-30, None
+
+    @jax.jit
+    def run():
+        c, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=STEPS)
+        return c
+
+    c = run().block_until_ready()  # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        c = run()
+    c.block_until_ready()
+    dt = time.perf_counter() - t0
+    ms = 1e3 * dt / (STEPS * reps)
+    print(json.dumps({"stage": name, "ms": round(ms, 4)}), flush=True)
+    return ms
+
+
+def step_fn(p, st):
+    vg = jax.value_and_grad(lambda q: obj.loss_fn(q, X, y)[0])
+    cost, g = vg(p)
+    delta, st = tx.update(g, st, p)
+    return tree_add(p, delta), st, cost
+
+
+print("backend:", jax.default_backend(), "config:",
+      {"N": N, "D": D, "S": S, "M": M}, flush=True)
+timed("phi", lambda e: obj.fourier_features(params, X + e))
+timed("gram", lambda e: obj.sufficient_stats(Phi_const + e, y))
+timed("chol", lambda e: obj.solve_posterior(
+    obj.SufficientStats(stats_const.phiTphi + e, stats_const.phiTy,
+                        stats_const.yTy, stats_const.n),
+    jnp.exp(2.0 * params.a)))
+timed("latent", lambda e: obj.latent_moments(Phi_const + e, post_const))
+timed("forward", lambda e: obj.loss_fn(params, X + e, y)[0])
+# probe the UPDATED PARAMS (not the cost) so the backward pass + optimizer
+# update cannot be dead-code-eliminated: probing cost alone measured
+# forward-only (step == forward in the first run of this script).
+timed("step", lambda e: step_fn(
+    jax.tree.map(lambda t: t + e, params), opt_state)[0].l_F)

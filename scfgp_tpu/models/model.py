@@ -56,13 +56,16 @@ class SCFGP:
                  X_scaling_method: str = "auto-inv-normal",
                  y_scaling_method: str = "auto-normal",
                  verbose: bool = False, seed: Optional[int] = None,
-                 dtype=None, extra_basis=None):
+                 dtype=None, extra_basis=None, mm_dtype=None):
         # sparsity=-1 selects full rank (legacy reference API, resolved at
         # set_data when D is known); extra_basis(X)->(N,B) appends fixed
-        # feature columns for composite models (e.g. trend+periodic CO2).
+        # feature columns for composite models (e.g. trend+periodic CO2);
+        # mm_dtype=jnp.bfloat16 runs the O(N K^2) GEMMs at the MXU's native
+        # input width (objective._gemm).
         self.S = sparsity
         self.M = nfeats
         self.extra_basis = extra_basis
+        self.mm_dtype = mm_dtype
         self.X_scaler = Scaler(X_scaling_method)
         self.y_scaler = Scaler(y_scaling_method)
         self.evals = new_evals_dict() if evals is None else evals
@@ -128,15 +131,19 @@ class SCFGP:
     def _eval_fn(self):
         """Jitted loss WITHOUT update (reference train_func, SCFGP.py:134-135)."""
         basis = self.extra_basis
-        return lambda p, X, y: _jitted_loss(p, X, y, basis_fn=basis)
+        mm = self.mm_dtype
+        return lambda p, X, y: _jitted_loss(p, X, y, basis_fn=basis,
+                                            mm_dtype=mm)
 
     def _make_step(self, tx):
         """Jitted loss + grad + optimizer update (train_iter_func analog)."""
         basis = self.extra_basis
+        mm = self.mm_dtype
 
         def step(params, opt_state, X, y):
             (cost, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, X, y, basis_fn=basis)
+                loss_fn, has_aux=True)(params, X, y, basis_fn=basis,
+                                       mm_dtype=mm)
             delta, opt_state = tx.update(grads, opt_state, params)
             params = tree_add(params, delta)
             return params, opt_state, cost, aux.post
@@ -342,9 +349,10 @@ class SCFGP:
         tx = make_optimizer(algo["algo"], algo.get("algo_params"))
         X, y = self.X, self.y
         basis = self.extra_basis
+        mm = self.mm_dtype
         vg = jax.value_and_grad(
             lambda p: (lambda c, a: (c, a.post))(
-                *loss_fn(p, X, y, basis_fn=basis)),
+                *loss_fn(p, X, y, basis_fn=basis, mm_dtype=mm)),
             has_aux=True)
 
         obj_fn = None
@@ -512,5 +520,5 @@ class SCFGP:
             self.message(self.NAME, "%7s = %.4e" % (metric, best))
 
 
-_jitted_loss = jax.jit(loss_fn, static_argnames=("basis_fn",))
+_jitted_loss = jax.jit(loss_fn, static_argnames=("basis_fn", "mm_dtype"))
 _jitted_predict = jax.jit(predict_f, static_argnames=("basis_fn",))

@@ -38,6 +38,7 @@ parity harness.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -102,21 +103,52 @@ def fourier_features(p: SCFGPParams, X: jax.Array,
     return scale * Phi
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rp_dot(mm_dtype, a, b):
+    """Reduced-precision GEMM: mm_dtype inputs, f32 accumulation."""
+    return jnp.dot(a.astype(mm_dtype), b.astype(mm_dtype),
+                   preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def _rp_dot_fwd(mm_dtype, a, b):
+    # Residuals are stored ALREADY CAST: halves the backward pass's HBM
+    # reads and keeps both backward GEMMs on the MXU's reduced-precision
+    # path (without a custom VJP only the forward GEMM would be bf16 — the
+    # two backward GEMMs, 2/3 of the step FLOPs under grad, would keep f32
+    # cotangent operands; measured step-time neutral, docs/DESIGN.md).
+    a16, b16 = a.astype(mm_dtype), b.astype(mm_dtype)
+    out = jnp.dot(a16, b16, preferred_element_type=jnp.float32).astype(a.dtype)
+    return out, (a16, b16)
+
+
+def _rp_dot_bwd(mm_dtype, res, g):
+    # The objective only calls _rp_dot with a, b, out all the same dtype,
+    # so the cotangent dtype (== out dtype) is the right cast-back target.
+    a16, b16 = res
+    g16 = g.astype(mm_dtype)
+    da = jnp.dot(g16, b16.T, preferred_element_type=jnp.float32).astype(g.dtype)
+    db = jnp.dot(a16.T, g16, preferred_element_type=jnp.float32).astype(g.dtype)
+    return da, db
+
+
+_rp_dot.defvjp(_rp_dot_fwd, _rp_dot_bwd)
+
+
 def _gemm(a: jax.Array, b: jax.Array, mm_dtype=None) -> jax.Array:
     """GEMM with optional reduced-precision MXU inputs, f32 accumulation.
 
-    ``mm_dtype=jnp.bfloat16`` feeds the MXU its native input type (v5e runs
-    bf16 matmuls at 2x the f32 rate) while accumulating in float32; the
-    result is cast back to the operand dtype.  ``None`` keeps full-precision
-    inputs.  Only the two O(N K^2) GEMMs of the objective opt in — the trig
-    projection stays full precision (bf16 rounding of the phase argument
-    would inject O(1e-2) feature noise, while Gram/variance entries degrade
-    gracefully; measured accuracy impact documented in docs/DESIGN.md).
+    ``mm_dtype=jnp.bfloat16`` feeds the MXU its native input type while
+    accumulating in float32, in BOTH the forward GEMM and (via ``_rp_dot``'s
+    custom VJP) the two backward GEMMs; the result is cast back to the
+    operand dtype.  ``None`` keeps full-precision inputs.  Only the two
+    O(N K^2) GEMMs of the objective opt in — the trig projection stays full
+    precision (bf16 rounding of the phase argument would inject O(1e-2)
+    feature noise, while Gram/variance entries degrade gracefully; measured
+    accuracy impact documented in docs/DESIGN.md).
     """
     if mm_dtype is None:
         return jnp.dot(a, b, preferred_element_type=a.dtype)
-    return jnp.dot(a.astype(mm_dtype), b.astype(mm_dtype),
-                   preferred_element_type=jnp.float32).astype(a.dtype)
+    return _rp_dot(mm_dtype, a, b)
 
 
 def sufficient_stats(Phi: jax.Array, y: jax.Array,
@@ -145,13 +177,25 @@ def psum_stats(stats: SufficientStats, axis_name: str) -> SufficientStats:
 
 
 def solve_posterior(stats: SufficientStats, sig2_n: jax.Array,
-                    epsilon: float = EPSILON) -> Posterior:
+                    epsilon: float = EPSILON,
+                    mm_dtype=None) -> Posterior:
     """Cholesky-solve the 2K x 2K normal equations (reference SCFGP.py:105-110).
 
     Replicated (not sharded): 2K = 2(S+M) is small for all reference configs.
+
+    With ``mm_dtype`` set, the Gram was accumulated from reduced-precision
+    inputs, so its entries carry O(eps_mm * diag) rounding error and the
+    fixed 1e-6 jitter cannot keep ``A`` positive definite once the trained
+    noise gets small (observed: NaN Cholesky at sig2_n ~ 1e-5).  Scale the
+    jitter to the Gram's mean diagonal — the standard precision-aware
+    regularization.
     """
-    A = stats.phiTphi + (sig2_n + epsilon) * jnp.eye(
-        stats.phiTphi.shape[0], dtype=stats.phiTphi.dtype)
+    n2k = stats.phiTphi.shape[0]
+    jitter = sig2_n + epsilon
+    if mm_dtype is not None:
+        eps_mm = float(jnp.finfo(mm_dtype).eps)
+        jitter = jitter + eps_mm * jnp.trace(stats.phiTphi) / n2k
+    A = stats.phiTphi + jitter * jnp.eye(n2k, dtype=stats.phiTphi.dtype)
     L = jnp.linalg.cholesky(A)
     eye = jnp.eye(L.shape[0], dtype=L.dtype)
     Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
@@ -246,7 +290,7 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
     stats = sufficient_stats(Phi, y, w, mm_dtype=mm_dtype)
     if axis_name is not None:
         stats = psum_stats(stats, axis_name)
-    post = solve_posterior(stats, sig2_n)
+    post = solve_posterior(stats, sig2_n, mm_dtype=mm_dtype)
 
     mu_f, var_f = latent_moments(Phi, post, mm_dtype=mm_dtype)
     enll_rows = expected_nll_rows(mu_f, var_f, y, noise)

@@ -55,3 +55,19 @@ def test_composite_basis_improves_co2_extrapolation():
     nmse_comp = comp.evals["NMSE"][1][comp.min_obj_ind]
     assert nmse_comp < nmse_plain, (nmse_comp, nmse_plain)
     assert nmse_comp < 0.5, nmse_comp
+
+
+def test_bf16_mm_dtype_trains_without_nan():
+    """mm_dtype=bfloat16 end-to-end through the model API.
+
+    Regression: without precision-aware jitter (solve_posterior mm_dtype
+    arg), bf16 Gram rounding loses positive definiteness once the trained
+    noise gets small and the whole fit NaNs out.  Must stay finite and land
+    near the f32 fit on an easy 1-D task."""
+    rng = np.random.RandomState(0)
+    X = rng.rand(300, 1) * 10
+    y = np.sin(X[:, 0]) * 2 + 0.1 * rng.randn(300) + 3
+    m = SCFGP(sparsity=8, nfeats=12, seed=0, mm_dtype=jnp.bfloat16)
+    m.fit(X[:250], y[:250], X[250:], y[250:], max_iter=100)
+    nmse = m.evals["NMSE"][1][m.min_obj_ind]
+    assert np.isfinite(nmse) and nmse < 0.08, nmse
