@@ -6,15 +6,27 @@ output block (constant index map, so it persists across grid steps — the
 standard revisited-accumulator pattern), and each grid step is a *small*
 program:
 
-  1. unblocked Cholesky of the 128x128 diagonal block k (sequential over
-     its columns; VPU rank-1 updates),
-  2. forward-substitution inverse ``Likk = Lkk^{-1}`` of that block
-     (sequential over its 128 rows),
+  1. Cholesky of the 128x128 diagonal block k (sub-blocked serial column
+     loop, ``_chol_diag_block``),
+  2. ``Likk = Lkk^{-1}`` via the log-depth Neumann product
+     (``_tri_inverse_logdepth`` — GEMMs only, no serial substitution),
   3. panel "solve" as ONE MXU matmul: ``P = C @ Likk^T`` on the full
      (Np, 128) column block, masked to rows below the diagonal block,
   4. trailing SYRK update as ONE MXU matmul: ``A -= P @ P^T`` (P is zero
      on rows <= the diagonal block, so this touches only the trailing
      submatrix).
+
+``cholesky_inverse_pallas`` additionally emits ``Li = L^{-1}`` from the same
+sequential grid (progressive block-inverse identity, two extra MXU GEMMs per
+step) — the pair ``(L, Li)`` is exactly what ``solve_posterior`` consumes.
+
+Measured v5e (n=512, scan-chained; experiments/tpu_chol_probe.py): XLA chol
+0.29 ms, XLA chol+triangular-inverse 0.31-0.36 ms, this kernel 0.37-0.38 ms,
+fused (L, Li) 0.41-0.44 ms.  The ~128-step serial diagonal factorization is
+latency-bound and keeps XLA ahead at reference sizes, so XLA stays the
+default; the kernels are correct, differentiable, compile on-chip in ~1 s
+(the TODO#1 compile blocker is resolved by the sequential-grid restructure),
+and are the building blocks for sizes beyond XLA's comfort zone.
 
 This shape exists because the previous whole-matrix kernel — a triple-nested
 ``fori_loop`` over (block column, block row, block col) with per-block
@@ -54,6 +66,84 @@ from .phi import _on_tpu, _round_up, _pad_axis
 BLK = 128
 
 
+def _tri_inverse_logdepth(Lkk, rows2d, cols2d):
+    """Exact inverse of a lower-triangular (b, b) block, GEMMs only.
+
+    ``Lkk = diag(d) @ (I + N)`` with N strictly lower =>
+    ``Lkk^{-1} = (I + N)^{-1} @ diag(1/d)`` where the unit-triangular
+    inverse is the telescoping Neumann product — log2(b) squaring stages,
+    every op an MXU matmul or a VPU elementwise, no serial loop.
+    """
+    b = Lkk.shape[0]
+    dcol = jnp.sum(jnp.where(rows2d == cols2d, Lkk, 0.0),
+                   axis=1, keepdims=True)                        # (b, 1)
+    drow = jnp.sum(jnp.where(rows2d == cols2d, Lkk, 0.0),
+                   axis=0, keepdims=True)                        # (1, b)
+    N = jnp.where(rows2d > cols2d, Lkk / dcol, 0.0)
+    eye = jnp.where(rows2d == cols2d, 1.0, 0.0).astype(Lkk.dtype)
+    X = eye - N
+    P = N
+    n_stages = b.bit_length() - 1  # log2(b); b a power of two
+    for _ in range(1, n_stages):
+        P = jnp.dot(P, P, preferred_element_type=jnp.float32).astype(X.dtype)
+        X = jnp.dot(X, eye + P,
+                    preferred_element_type=jnp.float32).astype(X.dtype)
+    return X / drow
+
+
+SUB = 32  # diagonal-factor sub-block width (see docs/DESIGN.md sweep)
+
+
+def _chol_diag_block(blk):
+    """Cholesky of the (BLK, BLK) diagonal block, sub-blocked at SUB.
+
+    The serial critical path of a Cholesky is ~n dependent column steps and
+    cannot be removed; sub-blocking reduces the per-step tile width (masked
+    select/reduce on (SUB, SUB) instead of the full (128, 128) tile) and
+    turns each sub-block's panel solve + trailing update into MXU matmuls
+    (with the sub-block inverse from the log-depth Neumann product).
+    Measured v5e sweep at n=512 (docs/DESIGN.md): full-tile loop 0.38 ms,
+    SUB=8 0.43 ms, SUB=32 0.37 ms — the serial loop is LATENCY-bound (loop
+    machinery + sqrt/div dependency chains), not VPU-throughput-bound, so
+    sub-blocking is roughly neutral and XLA's chol (0.29-0.30 ms) keeps the
+    edge at reference sizes.
+    """
+    n_b = blk.shape[0]
+    rows_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    cols_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    rowcol_s = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+
+    def col_factor(j, sub):
+        colm = jnp.sum(jnp.where(cols_s == j, sub, 0.0),
+                       axis=1, keepdims=True)
+        diag2 = jnp.sum(jnp.where(
+            jnp.logical_and(rows_s == j, cols_s == j), sub, 0.0))
+        diag = jnp.sqrt(jnp.maximum(diag2, 1e-30))
+        newcol = jnp.where(rowcol_s >= j, colm / diag, 0.0)
+        upd = sub - (newcol * newcol.T) * (cols_s > j)
+        return jnp.where(cols_s == j, newcol, upd)
+
+    # Mosaic lowers static `lax.slice` on values but NOT
+    # `dynamic_update_slice` (even with constant indices), so placements are
+    # expressed as static zero-pad + add into disjoint regions.
+    L = jnp.zeros_like(blk)
+    for sb in range(n_b // SUB):           # static unroll: all shapes fixed
+        o = sb * SUB
+        Asb = jax.lax.slice(blk, (o, o), (o + SUB, o + SUB))
+        Lsb = jax.lax.fori_loop(0, SUB, col_factor, Asb)
+        L = L + jnp.pad(Lsb, ((o, n_b - o - SUB), (o, n_b - o - SUB)))
+        if o + SUB < n_b:
+            Lisb = _tri_inverse_logdepth(Lsb, rows_s, cols_s)
+            Pan = jax.lax.slice(blk, (o + SUB, o), (n_b, o + SUB))
+            P = jnp.dot(Pan, Lisb.T,
+                        preferred_element_type=jnp.float32).astype(blk.dtype)
+            L = L + jnp.pad(P, ((o + SUB, 0), (o, n_b - o - SUB)))
+            PPt = jnp.dot(P, P.T,
+                          preferred_element_type=jnp.float32).astype(blk.dtype)
+            blk = blk - jnp.pad(PPt, ((o + SUB, 0), (o + SUB, 0)))
+    return L
+
+
 def _chol_step_kernel(a_ref, out_ref):
     """One block column of the right-looking factorization (grid step k)."""
     k = pl.program_id(0)
@@ -70,38 +160,16 @@ def _chol_step_kernel(a_ref, out_ref):
     # ("Invalid relayout ... replicated in destination but not in source").
     rows2d = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
     cols2d = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-    rowcol = jax.lax.broadcasted_iota(jnp.int32, (BLK, 1), 0)   # (BLK, 1)
-    colrow = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)   # (1, BLK)
 
-    # -- 1. unblocked Cholesky of the diagonal block ------------------------
-    def col_factor(j, blk):
-        colm = jnp.sum(jnp.where(cols2d == j, blk, 0.0),
-                       axis=1, keepdims=True)                    # blk[:, j]
-        diag2 = jnp.sum(jnp.where(
-            jnp.logical_and(rows2d == j, cols2d == j), blk, 0.0))
-        diag = jnp.sqrt(jnp.maximum(diag2, 1e-30))
-        newcol = jnp.where(rowcol >= j, colm / diag, 0.0)        # (BLK, 1)
-        # rank-1 update of the remaining columns (> j) only.
-        upd = blk - (newcol * newcol.T) * (cols2d > j)
-        return jnp.where(cols2d == j, newcol, upd)
-
+    # -- 1. Cholesky of the diagonal block, sub-blocked at SUB ----------------
     blk = out_ref[pl.ds(off, BLK), pl.ds(off, BLK)]
-    Lkk = jax.lax.fori_loop(0, BLK, col_factor, blk)
+    Lkk = _chol_diag_block(blk)
 
-    # -- 2. Likk = Lkk^{-1} by forward substitution, row by row -------------
-    # X[j, :] = (e_j - Lkk[j, :j] @ X) / Lkk[j, j]
-    def inv_row(j, X):
-        lrow = jnp.sum(jnp.where(rows2d == j, Lkk, 0.0),
-                       axis=0, keepdims=True)                    # (1, BLK)
-        ljj = jnp.sum(jnp.where(
-            jnp.logical_and(rows2d == j, cols2d == j), Lkk, 0.0))
-        lrow = jnp.where(colrow < j, lrow, 0.0)
-        acc = jnp.dot(lrow, X, preferred_element_type=jnp.float32)
-        ej = jnp.where(colrow == j, 1.0, 0.0).astype(X.dtype)
-        xj = (ej - acc.astype(X.dtype)) / ljj
-        return jnp.where(rows2d == j, xj, X)
-
-    Likk = jax.lax.fori_loop(0, BLK, inv_row, jnp.zeros_like(Lkk))
+    # -- 2. Likk = Lkk^{-1} in log depth: 13 small MXU GEMMs ----------------
+    # (see _tri_inverse_logdepth; replaces a BLK-iteration serial forward
+    # substitution — on-chip probing showed the serial loops were the whole
+    # kernel's bottleneck, docs/DESIGN.md)
+    Likk = _tri_inverse_logdepth(Lkk, rows2d, cols2d)
 
     # -- 3. panel solve: ONE (Np, BLK) x (BLK, BLK) MXU matmul --------------
     rowsN = jax.lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
@@ -161,6 +229,131 @@ def _chol_bwd(interpret, L, Lbar):
 
 
 _chol_pallas.defvjp(_chol_fwd, _chol_bwd)
+
+
+def _chol_inv_step_kernel(a_ref, l_ref, li_ref):
+    """One block column of the fused factor-and-invert pass (grid step k).
+
+    Produces BOTH ``L = chol(A)`` (right-looking, as ``_chol_step_kernel``)
+    and ``Li = L^{-1}`` in the same sequential grid, via the progressive
+    block identity: with ``T_k`` the leading k-block of L and ``W_k`` its
+    inverse,
+
+        inv([[T_k, 0], [R, Lkk]]) = [[W_k, 0], [-Likk R W_k, Likk]]
+
+    so each grid step emits one finished row block of Li from two MXU
+    GEMMs: ``G = R @ W_k`` (R = this step's finalized row panel of L) and
+    ``-Likk @ G``.  This replaces XLA's chol + triangular-solve-vs-identity
+    pair in ``solve_posterior`` — the largest single forward stage at
+    reference scale (docs/DESIGN.md op-split) — with one kernel launch.
+    """
+    k = pl.program_id(0)
+    off = k * BLK
+    n_p = l_ref.shape[0]
+
+    @pl.when(k == 0)
+    def _():
+        l_ref[:] = a_ref[:]
+        # zero BEFORE the G GEMM below reads li_ref: uninitialized VMEM can
+        # hold NaN patterns and 0 * NaN = NaN even under the rpan mask
+        li_ref[:] = jnp.zeros_like(li_ref)
+
+    rows2d = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    cols2d = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+
+    blk = l_ref[pl.ds(off, BLK), pl.ds(off, BLK)]
+    Lkk = _chol_diag_block(blk)
+    Likk = _tri_inverse_logdepth(Lkk, rows2d, cols2d)
+
+    # Li row block k: G = (finalized row panel of L) @ Li so far.  Columns
+    # >= off of the row panel are masked (still working values); Li rows
+    # >= off are zero (not yet written), so the full-width GEMM is exact.
+    colsN = jax.lax.broadcasted_iota(jnp.int32, (BLK, n_p), 1)
+    rpan = l_ref[pl.ds(off, BLK), :]
+    rpan = jnp.where(colsN < off, rpan, 0.0)
+    G = jnp.dot(rpan, li_ref[:], preferred_element_type=jnp.float32)
+    Lirow = -jnp.dot(Likk, G.astype(Likk.dtype),
+                     preferred_element_type=jnp.float32).astype(Likk.dtype)
+    li_ref[pl.ds(off, BLK), :] = Lirow
+    li_ref[pl.ds(off, BLK), pl.ds(off, BLK)] = Likk
+
+    # Finished L column block + trailing SYRK update (as _chol_step_kernel).
+    rowsN = jax.lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
+    C = l_ref[:, pl.ds(off, BLK)]
+    P = jnp.dot(C, Likk.T, preferred_element_type=jnp.float32).astype(C.dtype)
+    P = jnp.where(rowsN >= off + BLK, P, 0.0)
+    l_ref[:, pl.ds(off, BLK)] = P
+    l_ref[pl.ds(off, BLK), pl.ds(off, BLK)] = Lkk
+    T = jax.lax.dot_general(P, P, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    l_ref[:] = l_ref[:] - T.astype(l_ref.dtype)
+
+
+def _chol_inv_call(A, interpret):
+    n = A.shape[0]
+    Np = _round_up(n, BLK)
+    Ap = _pad_axis(_pad_axis(A, 0, Np), 1, Np)
+    if Np > n:
+        idx = jnp.arange(n, Np)
+        Ap = Ap.at[idx, idx].set(1.0)
+    full = pl.BlockSpec((Np, Np), lambda k: (0, 0), memory_space=pltpu.VMEM)
+    L, Li = pl.pallas_call(
+        _chol_inv_step_kernel,
+        grid=(Np // BLK,),
+        in_specs=[full],
+        out_specs=(full, full),
+        out_shape=(jax.ShapeDtypeStruct((Np, Np), A.dtype),
+                   jax.ShapeDtypeStruct((Np, Np), A.dtype)),
+        interpret=interpret,
+    )(Ap)
+    return L[:n, :n], Li[:n, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _chol_inv_pallas(interpret, A):
+    return _chol_inv_call(A, interpret)
+
+
+def _chol_inv_ref(A):
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return L, Li
+
+
+def _chol_inv_fwd(interpret, A):
+    out = _chol_inv_call(A, interpret)
+    return out, out
+
+
+def _chol_inv_bwd(interpret, res, g):
+    # XLA's own VJP rules on the reconstructed input (A = L L^T): one extra
+    # small chol+solve in the backward pass, guaranteed-consistent
+    # cotangents (same pattern as _chol_bwd).
+    L, _ = res
+    A = L @ L.T
+    _, vjp = jax.vjp(_chol_inv_ref, A)
+    return vjp(g)
+
+
+_chol_inv_pallas.defvjp(_chol_inv_fwd, _chol_inv_bwd)
+
+
+def cholesky_inverse_pallas(A, interpret=None):
+    """(L, L^{-1}) of SPD ``A`` in ONE fused Pallas pass (differentiable).
+
+    The SCFGP posterior needs both (``objective.solve_posterior``:
+    ``log diag L`` for the nlml, ``Li`` for every downstream GEMM) —
+    reference ops being replaced: ``theano.sandbox.linalg.cholesky`` +
+    ``matrix_inverse`` at ``reference: SCFGP/SCFGP.py:106-107``.  Same
+    interpret gating as ``cholesky_pallas``.  VMEM bound: 3 whole-matrix
+    f32 buffers => n up to ~1024 on a 16 MB chip; fall back to XLA above.
+    """
+    if interpret is None:
+        import os
+        compiled_ok = os.environ.get("SCFGP_PALLAS_CHOL_COMPILE") == "1"
+        interpret = not (_on_tpu() and compiled_ok)
+    return _chol_inv_pallas(interpret, A)
 
 
 def cholesky_pallas(A, interpret=None):

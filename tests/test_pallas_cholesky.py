@@ -61,3 +61,37 @@ def test_posterior_solve_with_pallas_chol():
     L = cholesky_pallas(A)
     np.testing.assert_allclose(np.asarray(L), np.asarray(post.L),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("n", [128, 300, 512])
+def test_fused_chol_inverse_matches_xla(n):
+    """Fused (L, L^{-1}) kernel: both outputs vs float64 reference."""
+    from scfgp_tpu.ops.cholesky import cholesky_inverse_pallas
+
+    A = _spd(n, seed=n)
+    L_ref = np.linalg.cholesky(np.asarray(A, np.float64))
+    Li_ref = np.linalg.inv(L_ref)
+    L, Li = cholesky_inverse_pallas(A)
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Li), Li_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_chol_inverse_vjp_matches_xla():
+    from scfgp_tpu.ops.cholesky import cholesky_inverse_pallas
+
+    A = _spd(96, seed=5)
+
+    def f_pal(A):
+        L, Li = cholesky_inverse_pallas(A)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(Li ** 2)
+
+    def f_ref(A):
+        L = jnp.linalg.cholesky(A)
+        Li = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(A.shape[0], dtype=A.dtype), lower=True)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(Li ** 2)
+
+    g_pal = jax.grad(f_pal)(A)
+    g_ref = jax.grad(f_ref)(A)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=2e-3, atol=1e-4)
