@@ -176,6 +176,48 @@ def psum_stats(stats: SufficientStats, axis_name: str) -> SufficientStats:
     return jax.tree.map(lambda t: jax.lax.psum(t, axis_name), stats)
 
 
+@jax.custom_vjp
+def chol_and_inverse(A: jax.Array):
+    """``(L, Li) = (chol(A), L^{-1})`` with an all-GEMM backward pass.
+
+    Forward is XLA's cholesky + triangular solve (fastest measured at
+    reference sizes — docs/DESIGN.md).  The stock VJP of that pair runs
+    three more SERIAL triangular solves in the backward; since the forward
+    already materializes ``Li``, every inverse application in the backward
+    is a plain GEMM against it instead:
+
+        Lbar_total = gL - Li^T gLi Li^T         (fold the Li cotangent in)
+        Abar = Li^T PHI(L^T Lbar_total) Li      (Murray 2016, eq. 8)
+
+    with ``PHI(X) = tril(X) - diag(X)/2``, symmetrized at the end (A is
+    symmetric by construction).  Validated against XLA's own VJP in
+    tests/test_objective.py.
+    """
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return L, Li
+
+
+def _chol_inv_fwd(A):
+    out = chol_and_inverse(A)
+    return out, out
+
+
+def _chol_inv_bwd(res, g):
+    L, Li = res
+    gL, gLi = g
+    gL_tot = gL - Li.T @ gLi @ Li.T
+    S = L.T @ gL_tot
+    tril = jnp.tril(S) - 0.5 * jnp.diag(jnp.diagonal(S))
+    Abar = Li.T @ tril @ Li
+    Abar = 0.5 * (Abar + Abar.T)
+    return (Abar,)
+
+
+chol_and_inverse.defvjp(_chol_inv_fwd, _chol_inv_bwd)
+
+
 def solve_posterior(stats: SufficientStats, sig2_n: jax.Array,
                     epsilon: float = EPSILON,
                     mm_dtype=None) -> Posterior:
@@ -196,9 +238,7 @@ def solve_posterior(stats: SufficientStats, sig2_n: jax.Array,
         eps_mm = float(jnp.finfo(mm_dtype).eps)
         jitter = jitter + eps_mm * jnp.trace(stats.phiTphi) / n2k
     A = stats.phiTphi + jitter * jnp.eye(n2k, dtype=stats.phiTphi.dtype)
-    L = jnp.linalg.cholesky(A)
-    eye = jnp.eye(L.shape[0], dtype=L.dtype)
-    Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    L, Li = chol_and_inverse(A)
     beta = Li @ stats.phiTy
     alpha = Li.T @ beta
     return Posterior(L=L, Li=Li, alpha=alpha, beta=beta,

@@ -165,3 +165,29 @@ def test_bf16_gemm_option_close_to_f32():
     v16 = np.concatenate([np.asarray(t).ravel() for t in jax.tree.leaves(g16)])
     cos = float(v32 @ v16 / (np.linalg.norm(v32) * np.linalg.norm(v16)))
     assert cos > 0.99, f"bf16 gradient diverged from f32 (cos={cos:.4f})"
+
+
+def test_chol_and_inverse_vjp_matches_xla():
+    """The all-GEMM backward of chol_and_inverse must equal XLA's stock
+    cholesky + triangular-solve VJP exactly (asymmetric cotangents too)."""
+    import jax.numpy as jnp
+    from scfgp_tpu.models.objective import chol_and_inverse
+
+    def ref(A):
+        L = jnp.linalg.cholesky(A)
+        Li = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(A.shape[0], dtype=A.dtype), lower=True)
+        return L, Li
+
+    rng = np.random.RandomState(11)
+    m = 33
+    A = jnp.asarray(rng.randn(m, m), jnp.float64)
+    A = A @ A.T + m * jnp.eye(m, dtype=jnp.float64)
+    gL = jnp.asarray(rng.randn(m, m), jnp.float64)
+    gLi = jnp.asarray(rng.randn(m, m), jnp.float64)
+    _, vjp_c = jax.vjp(chol_and_inverse, A)
+    _, vjp_r = jax.vjp(ref, A)
+    a_c = vjp_c((gL, gLi))[0]
+    a_r = vjp_r((gL, gLi))[0]
+    np.testing.assert_allclose(np.asarray(a_c), np.asarray(a_r),
+                               rtol=1e-12, atol=1e-12)
