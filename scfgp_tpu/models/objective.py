@@ -193,6 +193,11 @@ def chol_and_inverse(A: jax.Array):
     symmetric by construction).  Validated against XLA's own VJP in
     tests/test_objective.py.
     """
+    # (A log-depth Neumann-product inverse was probed as an alternative to
+    # this solve: 15% faster standalone at n=512 but NET-NEGATIVE inside the
+    # full step — 1788 vs 1845 evals/s — because the ~2 log2(n) dependent
+    # GEMM launches overlap worse than XLA's single fused solve op; see
+    # experiments/tpu_triinv_probe.py and docs/DESIGN.md.)
     L = jnp.linalg.cholesky(A)
     eye = jnp.eye(L.shape[0], dtype=L.dtype)
     Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
