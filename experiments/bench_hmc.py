@@ -37,7 +37,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from scfgp_tpu.bayes import (hmc_sample, hmc_sample_host_looped,
-                                 nuts_sample, make_logposterior)
+                                 nuts_sample, nuts_sample_host_looped,
+                                 nuts_sample_static, make_logposterior)
     from scfgp_tpu.bayes.predictive import reduced_dim
     from scfgp_tpu.data.datasets import synthetic_gp_rff
     from scfgp_tpu.models.params import init_params, pack_params
@@ -52,8 +53,11 @@ def main():
     init = jnp.stack([pack_params(
         init_params(k, D, S, M, jnp.float32))[:P] for k in keys])
 
-    mode = args.mode or ("host" if jax.default_backend() == "tpu"
-                         else "fused")
+    # Fused is the fast mode everywhere (TPU v5e measured: fused HMC 196.6
+    # samples/s vs 31.7 host-looped; fused compiled in 69 s once the remote
+    # compile service was healthy).  --mode host remains the fallback for
+    # pathological remote-compile services (one jitted transition only).
+    mode = args.mode or "fused"
     benches = []
     if mode == "host":
         benches.append(("hmc", lambda q, k: hmc_sample_host_looped(
@@ -63,13 +67,28 @@ def main():
         benches.append(("hmc", jax.jit(lambda q, k: hmc_sample(
             logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
             num_integration_steps=16, init_step_size=0.003))))
-    # NUTS stays fused (its tree loops need lax control flow); skip it on
-    # TPU by default — the doubly-nested while_loop program has pathological
-    # compile times on remote-compile services.
     if not args.skip_nuts and mode == "fused":
+        # Dynamic-trajectory NUTS (doubly-nested while_loop) only off-TPU:
+        # the program has pathological compile times on remote-compile
+        # services.
         benches.append(("nuts", jax.jit(lambda q, k: nuts_sample(
             logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
             max_depth=6, init_step_size=0.003))))
+    if not args.skip_nuts:
+        # TPU-compilable NUTS modes (docs/TODO.md round-1 item 3): the
+        # static fixed-budget multinomial sampler is one fused scan program
+        # (same shape as fused HMC); the host-looped variant jits only one
+        # transition.
+        benches.append(("nuts_static", jax.jit(lambda q, k:
+            nuts_sample_static(
+                logpost, q, k, num_warmup=args.warmup,
+                num_samples=args.samples, depth=5, init_step_size=0.003))))
+        if mode == "host":
+            benches.append(("nuts_host", lambda q, k:
+                nuts_sample_host_looped(
+                    logpost, q, k, num_warmup=args.warmup,
+                    num_samples=args.samples, max_depth=6,
+                    init_step_size=0.003)))
 
     results = {}
     for name, run in benches:
