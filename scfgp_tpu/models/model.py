@@ -48,6 +48,37 @@ DEFAULT_OPT = {
                     "epsilon": 1e-8},
 }
 
+# Jitted fused-loop runners cached by static config, with (params, key, X, y)
+# as TRACED arguments.  A fresh `jax.jit(lambda ...)` per optimize_fused call
+# would defeat jit's cache (new function object => retrace + compile-cache
+# round trip every fit) — this dict is what actually delivers the
+# reference's compiled-function reuse across model instances
+# (``SCFGP.py:150-151``, ``boston_housing.py:82-88``) for the fused path.
+_FUSED_RUNNERS: dict = {}
+
+
+def _fused_runner(algo_name, algo_params_items, max_iter, cvrg_tol,
+                  max_cvrg, basis_fn, mm_dtype):
+    key = (algo_name, algo_params_items, max_iter, float(cvrg_tol),
+           int(max_cvrg), basis_fn, mm_dtype)
+    run = _FUSED_RUNNERS.get(key)
+    if run is None:
+        from ..opt.fused_loop import fused_optimize
+
+        def run_impl(p, rng_key, X, y):
+            vg = jax.value_and_grad(
+                lambda q: (lambda c, a: (c, a.post))(
+                    *loss_fn(q, X, y, basis_fn=basis_fn, mm_dtype=mm_dtype)),
+                has_aux=True)
+            tx = make_optimizer(algo_name,
+                                dict(algo_params_items) or None)
+            return fused_optimize(vg, tx, p, rng_key, max_iter=max_iter,
+                                  cvrg_tol=cvrg_tol, max_cvrg=max_cvrg)
+
+        run = jax.jit(run_impl)
+        _FUSED_RUNNERS[key] = run
+    return run
+
 
 class SCFGP:
     """Sparsely Correlated Fourier features Gaussian Process (TPU-native)."""
@@ -346,27 +377,36 @@ class SCFGP:
         for metric in self.evals:
             self.evals[metric][1] = []
 
-        tx = make_optimizer(algo["algo"], algo.get("algo_params"))
-        X, y = self.X, self.y
-        basis = self.extra_basis
-        mm = self.mm_dtype
-        vg = jax.value_and_grad(
-            lambda p: (lambda c, a: (c, a.post))(
-                *loss_fn(p, X, y, basis_fn=basis, mm_dtype=mm)),
-            has_aux=True)
-
-        obj_fn = None
+        key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
         if Xv is not None and yv is not None and obj != "COST":
+            # Validation objective: the Scaler's backward transform is baked
+            # in as constants, so this path re-jits per model (see
+            # _FUSED_RUNNERS for why the COST path does not).
+            tx = make_optimizer(algo["algo"], algo.get("algo_params"))
+            X, y = self.X, self.y
+            basis = self.extra_basis
+            mm = self.mm_dtype
+            vg = jax.value_and_grad(
+                lambda p: (lambda c, a: (c, a.post))(
+                    *loss_fn(p, X, y, basis_fn=basis, mm_dtype=mm)),
+                has_aux=True)
             Xv_t = jnp.asarray(self.X_scaler.forward_transform(Xv),
                                self.dtype)
             obj_fn = self._make_obj_fn(obj, Xv_t, yv)
-
-        key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
-        run = jax.jit(lambda p, k: fused_optimize(
-            vg, tx, p, k, max_iter=max_iter, cvrg_tol=cvrg_tol,
-            max_cvrg=max_cvrg, obj_fn=obj_fn))
-        t0 = time.time()
-        res = jax.block_until_ready(run(self.params, key))
+            run = jax.jit(lambda p, k: fused_optimize(
+                vg, tx, p, k, max_iter=max_iter, cvrg_tol=cvrg_tol,
+                max_cvrg=max_cvrg, obj_fn=obj_fn))
+            t0 = time.time()
+            res = jax.block_until_ready(run(self.params, key))
+        else:
+            params_items = tuple(sorted(
+                (algo.get("algo_params") or {}).items()))
+            run = _fused_runner(algo["algo"], params_items, max_iter,
+                                cvrg_tol, max_cvrg, self.extra_basis,
+                                self.mm_dtype)
+            t0 = time.time()
+            res = jax.block_until_ready(run(self.params, key,
+                                            self.X, self.y))
         wall = time.time() - t0
         self.params = res.params
         self.post = res.post
