@@ -60,12 +60,15 @@ def run(p, st):
     return p, st, costs[-1]
 
 p, st, c = run(params, opt_state)
-jax.block_until_ready(c)
+float(c)  # HOST READBACK - the tunneled TPU's block_until_ready can return
+          # before execution finishes (measured 0.1 ms/"step" on programs
+          # whose HBM traffic alone needs >2 ms); timing to a value fetch
+          # is the honest clock.
 t0 = time.perf_counter()
 reps = 3
 for _ in range(reps):
     p, st, c = run(p, st)
-jax.block_until_ready(c)
+final = float(c)
 dt = time.perf_counter() - t0
 print(json.dumps({"evals_per_s": STEPS * reps / dt,
                   "backend": jax.default_backend()}))

@@ -55,13 +55,13 @@ for name, mm in (("f32", None), ("bf16", jnp.bfloat16)):
     run = make_run(mm)
     t0 = time.perf_counter()
     p, st, c = run(params, opt_state)
-    jax.block_until_ready(c)
+    float(c)  # HOST READBACK: axon's block_until_ready can return early
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
         p, st, c = run(p, st)
-    jax.block_until_ready(c)
+    final = float(c)  # timed to a real readback, not just "ready"
     dt = time.perf_counter() - t0
     print(json.dumps({
         "variant": name, "evals_per_s": round(STEPS * reps / dt, 1),

@@ -73,3 +73,24 @@ def test_fused_early_stopping_triggers():
     # cvrg_tol=10 counts every improvement as negligible -> stop right after
     # the iter>30 gate opens.
     assert int(res.num_iters) < 40
+
+
+def test_fused_runner_cached_across_models():
+    """Two models with the same config/shapes must share ONE jitted runner
+    with ONE trace (the reference's compiled-function-reuse across model
+    instances, SCFGP.py:150-151; a fresh jit per fit would retrace)."""
+    from scfgp_tpu.models.model import _FUSED_RUNNERS
+    from scfgp_tpu import SCFGP
+
+    _FUSED_RUNNERS.clear()
+    X, y = synthetic_gp_rff(n=200, d=3, s=3, m=8, seed=5)
+    runners = set()
+    for seed in (0, 1):
+        m = SCFGP(sparsity=4, nfeats=8, seed=seed)
+        m.fit_fast(X[:160], y[:160], max_iter=40)
+        assert len(_FUSED_RUNNERS) == 1
+        runners.add(id(next(iter(_FUSED_RUNNERS.values()))))
+    assert len(runners) == 1
+    run = next(iter(_FUSED_RUNNERS.values()))
+    if hasattr(run, "_cache_size"):
+        assert run._cache_size() == 1  # one trace, two fits
