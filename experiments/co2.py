@@ -30,19 +30,24 @@ def main():
     sparsity, nfeats = (20, 20) if args.quick else (100, 50)
     max_iter = 150 if args.quick else 1000
     model = SCFGP(sparsity=sparsity, nfeats=nfeats, seed=0, verbose=True)
-    model.fit(Xt, yt, Xv, yv,
-              obj="cost",
-              algo={"algo": "adamax",
-                    "algo_params": {"learning_rate": 0.05, "beta1": 0.8,
-                                    "beta2": 0.999, "epsilon": 1e-8}},
-              nbatches=1, cvrg_tol=1e-5, max_cvrg=8, max_iter=max_iter)
+    # record_every frames -> training GIF, the reference's committed
+    # experiments/plot_training.gif artifact (live loop Visualizer.py:27-49)
+    viz = Visualizer(record_every=max(1, max_iter // 40))
+    model.set_data(Xt, yt)
+    model.optimize(Xv, yv, visualizer=viz,
+                   obj="cost",
+                   algo={"algo": "adamax",
+                         "algo_params": {"learning_rate": 0.05, "beta1": 0.8,
+                                         "beta2": 0.999, "epsilon": 1e-8}},
+                   nbatches=1, cvrg_tol=1e-5, max_cvrg=8, max_iter=max_iter)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results", "co2")
     os.makedirs(out, exist_ok=True)
-    viz = Visualizer()
     viz.model = model
     viz.save(os.path.join(out, "posterior_bands.png"))
+    if viz.frames:
+        viz.save_animation(os.path.join(out, "plot_training.gif"))
     model.save(os.path.join(out, "co2_model.pkl"))
     print("NMSE:", model.evals["NMSE"][1][model.min_obj_ind])
     print("MNLP:", model.evals["MNLP"][1][model.min_obj_ind])

@@ -26,12 +26,15 @@ import matplotlib.pyplot as plt  # noqa: E402
 class Visualizer:
 
     def __init__(self, fig=None, eval="NMSE", plot_limit=80,
-                 snapshot_every=0, snapshot_path="training_%04d.png"):
+                 snapshot_every=0, snapshot_path="training_%04d.png",
+                 record_every=0):
         self.fig = fig or plt.figure(figsize=(8, 6), facecolor="white")
         self.eval = eval.upper()
         self.plot_limit = plot_limit
         self.snapshot_every = snapshot_every
         self.snapshot_path = snapshot_path
+        self.record_every = record_every
+        self.frames = []  # in-memory RGB frames when record_every > 0
         self.model = None
 
     def train_with_plot(self):
@@ -40,7 +43,29 @@ class Visualizer:
             if self.snapshot_every and i % self.snapshot_every == 0:
                 self.render()
                 self.fig.savefig(self.snapshot_path % i)
+            if self.record_every and i % self.record_every == 0:
+                self._grab_frame()
         return animate
+
+    def _grab_frame(self):
+        self.render()
+        self.fig.canvas.draw()
+        buf = np.asarray(self.fig.canvas.buffer_rgba())
+        self.frames.append(buf[..., :3].copy())
+
+    def save_animation(self, path: str, duration_ms: int = 150):
+        """Write recorded frames as a GIF — the offline analog of the
+        reference's committed live-training animation
+        (``reference: experiments/plot_training.gif``; the live loop is
+        ``Visualizer.py:27-49``).  Requires ``record_every > 0`` during
+        training (or manual ``_grab_frame`` calls)."""
+        if not self.frames:
+            raise RuntimeError("no frames recorded: construct the "
+                               "Visualizer with record_every > 0")
+        from PIL import Image
+        imgs = [Image.fromarray(f) for f in self.frames]
+        imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                     duration=duration_ms, loop=0)
 
     # -- rendering ------------------------------------------------------------
 

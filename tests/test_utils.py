@@ -132,3 +132,21 @@ def test_scaler_1d_input():
     ty = np.asarray(sc.forward_transform(y))
     back = np.asarray(sc.backward_transform(ty)).ravel()
     np.testing.assert_allclose(back, y, rtol=1e-5, atol=1e-6)
+
+
+def test_visualizer_training_gif(tmp_path):
+    """record_every frames -> save_animation writes a multi-frame GIF (the
+    offline analog of the reference's committed plot_training.gif)."""
+    from scfgp_tpu import SCFGP, Visualizer
+    from scfgp_tpu.data.datasets import load_co2
+
+    Xt, yt, Xv, yv, _ = load_co2(seed=0)
+    viz = Visualizer(eval="NMSE", record_every=10)
+    m = SCFGP(sparsity=8, nfeats=10, seed=0)
+    m.set_data(Xt[:120], yt[:120])
+    m.optimize(Xv[:40], yv[:40], visualizer=viz, max_iter=30)
+    assert len(viz.frames) >= 2
+    out = tmp_path / "training.gif"
+    viz.save_animation(str(out))
+    data = out.read_bytes()
+    assert data[:6] in (b"GIF87a", b"GIF89a") and len(data) > 5_000
