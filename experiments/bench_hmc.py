@@ -93,16 +93,19 @@ def main():
     results = {}
     for name, run in benches:
         t0 = time.time()
-        res = jax.block_until_ready(run(init, jax.random.PRNGKey(1)))
+        res = run(init, jax.random.PRNGKey(1))
+        float(res.accept_rate)  # HOST READBACK: the tunneled TPU's
+        # block_until_ready can return before execution finishes (CLAUDE.md)
         compile_and_run = time.time() - t0
         t0 = time.time()
-        res = jax.block_until_ready(run(init, jax.random.PRNGKey(2)))
+        res = run(init, jax.random.PRNGKey(2))
+        accept = float(res.accept_rate)
         dt = time.time() - t0
         total_draws = args.samples * args.chains
         results[name] = {
             "mode": mode,
             "samples_per_s": round(total_draws / dt, 2),
-            "accept_rate": round(float(res.accept_rate), 3),
+            "accept_rate": round(accept, 3),
             "chains": args.chains,
             "dim": P,
             "first_call_s": round(compile_and_run, 1),

@@ -1,0 +1,180 @@
+"""Parallel-tempered chain-parallel HMC for multimodal SCFGP posteriors.
+
+SURVEY.md §7.2 flags the frequency-matrix posterior as non-log-concave
+(trig multimodality) and calls for "tempering/multi-start" beyond plain
+HMC.  Multi-start is the per-chain random init; this module adds replica
+exchange (parallel tempering):
+
+  * T temperature rungs x C chains evolve as ONE (T, C, P) position tensor
+    — every leapfrog step batches T*C NLML gradient evaluations through the
+    MXU together, the same chain-parallel design as ``hmc.hmc_sample`` (and
+    the rung/chain axes can be sharded over devices like the chain axis);
+  * rung t targets ``beta_t * logpost`` (betas[0] must be 1.0 — the cold
+    rung is the posterior); hotter rungs flatten the trig modes so replicas
+    cross between basins;
+  * per-rung dual-averaging step sizes (hot rungs take larger steps) and
+    per-rung diagonal Welford mass estimates, adapted during warmup;
+  * after every transition, adjacent rungs propose swaps in the standard
+    even/odd alternating-parity schedule: pair (t, t+1) swaps with
+    probability ``min(1, exp((beta_t - beta_{t+1}) (E_{t+1} - E_t)))`` where
+    ``E`` is the UNtempered log posterior — detailed balance per rung pair;
+  * the returned samples are the cold rung's draws.
+
+Fully fused: one jit, two ``lax.scan``s (warmup, sampling) — the same
+program shape the remote TPU compiler handles for ``hmc_sample``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import (DualAveragingState, WelfordState, da_init, da_update,
+                  welford_add_batch, welford_variance)
+
+
+class TemperedHMCResult(NamedTuple):
+    samples: jax.Array       # (num_samples, C, P) — cold-rung draws
+    logdensities: jax.Array  # (num_samples, C) — untempered logpost
+    accept_rate: jax.Array   # () mean HMC acceptance over rungs/chains
+    swap_rate: jax.Array     # () mean swap acceptance over proposed pairs
+    step_sizes: jax.Array    # (T,) adapted per-rung step sizes
+    inv_mass: jax.Array      # (T, P) per-rung diagonal inverse mass
+
+
+def geometric_ladder(n_rungs: int, beta_min: float = 0.1,
+                     dtype=jnp.float32) -> jax.Array:
+    """Geometric temperature ladder from 1.0 down to ``beta_min``."""
+    return jnp.asarray(
+        jnp.geomspace(1.0, beta_min, n_rungs), dtype)
+
+
+def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
+                        key: jax.Array, betas=None,
+                        num_warmup: int = 500, num_samples: int = 500,
+                        num_integration_steps: int = 16,
+                        init_step_size: float = 0.01,
+                        target_accept: float = 0.8) -> TemperedHMCResult:
+    """Replica-exchange HMC.  ``init_positions``: (C, P) cold-rung inits
+    (replicated across rungs); ``logdensity_fn``: (P,) -> scalar."""
+    C, P = init_positions.shape
+    dtype = init_positions.dtype
+    if betas is None:
+        betas = geometric_ladder(4, dtype=dtype)
+    betas = jnp.asarray(betas, dtype)
+    T = betas.shape[0]
+    # cold rung first: the output draws are q[0]
+    # (a traced betas[0] can't be asserted here; geometric_ladder guarantees
+    # it, and custom ladders must follow the same convention)
+
+    base_vg = jax.vmap(jax.vmap(jax.value_and_grad(logdensity_fn)))
+
+    def kinetic(p, inv_mass):
+        return 0.5 * jnp.sum(p * p * inv_mass[:, None, :], axis=-1)  # (T, C)
+
+    def transition(q, key, eps, inv_mass):
+        """One tempered HMC step on the whole (T, C, P) tensor.
+
+        ``eps``: (T,), ``inv_mass``: (T, P).  Returns (q, untempered ld,
+        accept probs (T, C))."""
+        k1, k2 = jax.random.split(key)
+        mass_sqrt = 1.0 / jnp.sqrt(inv_mass)                     # (T, P)
+        p0 = jax.random.normal(k1, q.shape, dtype) * mass_sqrt[:, None, :]
+        ld0, _ = base_vg(q)                                      # (T, C)
+        h0 = -betas[:, None] * ld0 + kinetic(p0, inv_mass)
+        e = eps[:, None, None]
+
+        def leap(carry, _):
+            qq, pp = carry
+            _, g = base_vg(qq)
+            pp = pp + 0.5 * e * betas[:, None, None] * g
+            qq = qq + e * inv_mass[:, None, :] * pp
+            _, g = base_vg(qq)
+            pp = pp + 0.5 * e * betas[:, None, None] * g
+            return (qq, pp), None
+
+        (q1, p1), _ = jax.lax.scan(leap, (q, p0), None,
+                                   length=num_integration_steps)
+        ld1, _ = base_vg(q1)
+        h1 = -betas[:, None] * ld1 + kinetic(p1, inv_mass)
+        log_accept = jnp.minimum(0.0, h0 - h1)
+        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept,
+                               -jnp.inf)
+        u = jax.random.uniform(k2, (T, C))
+        accept = jnp.log(u) < log_accept
+        q_next = jnp.where(accept[..., None], q1, q)
+        ld_next = jnp.where(accept, ld1, ld0)
+        return q_next, ld_next, jnp.exp(log_accept)
+
+    pair_t = jnp.arange(T - 1)
+
+    def swap(q, ld, key, parity):
+        """Even/odd alternating adjacent-rung exchange (detailed balance)."""
+        delta = (betas[:-1] - betas[1:])[:, None] * (ld[1:] - ld[:-1])
+        u = jax.random.uniform(key, (T - 1, C))
+        valid = (pair_t % 2 == parity)[:, None]                  # (T-1, 1)
+        acc = (jnp.log(u) < delta) & valid                       # (T-1, C)
+        take_next = jnp.concatenate(
+            [acc, jnp.zeros((1, C), bool)], axis=0)              # (T, C)
+        take_prev = jnp.concatenate(
+            [jnp.zeros((1, C), bool), acc], axis=0)
+        q_sw = jnp.where(take_next[..., None], jnp.roll(q, -1, axis=0), q)
+        q_sw = jnp.where(take_prev[..., None], jnp.roll(q, 1, axis=0), q_sw)
+        ld_sw = jnp.where(take_next, jnp.roll(ld, -1, axis=0), ld)
+        ld_sw = jnp.where(take_prev, jnp.roll(ld, 1, axis=0), ld_sw)
+        n_valid = jnp.sum(valid) * C
+        rate = jnp.sum(acc) / jnp.maximum(n_valid, 1)
+        return q_sw, ld_sw, rate
+
+    da_update_v = jax.vmap(
+        functools.partial(da_update, target=target_accept))
+    welford_add_v = jax.vmap(welford_add_batch)
+
+    q0 = jnp.broadcast_to(init_positions[None], (T, C, P)).astype(dtype)
+    da0 = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + x.shape),
+                       da_init(init_step_size, dtype))
+    wf0 = WelfordState(jnp.zeros((T,), dtype),
+                       jnp.zeros((T, P), dtype),
+                       jnp.ones((T, P), dtype))  # unit-variance seed
+
+    def warmup_step(carry, inp):
+        q, da, wf = carry
+        key, i = inp
+        k_hmc, k_swap = jax.random.split(key)
+        eps = jnp.exp(da.log_eps)                                # (T,)
+        inv_mass = jax.vmap(welford_variance)(wf)                # (T, P)
+        q, ld, acc = transition(q, k_hmc, eps, inv_mass)
+        q, ld, _ = swap(q, ld, k_swap, i % 2)
+        da = da_update_v(da, jnp.mean(acc, axis=1))
+        wf = welford_add_v(wf, q)
+        return (q, da, wf), None
+
+    n_total = num_warmup + num_samples
+    keys = jax.random.split(key, n_total)
+    steps = jnp.arange(n_total)
+    (q, da, wf), _ = jax.lax.scan(
+        warmup_step, (q0, da0, wf0),
+        (keys[:num_warmup], steps[:num_warmup]))
+
+    eps = jnp.exp(da.log_eps_avg)
+    inv_mass = jax.vmap(welford_variance)(wf)
+
+    def sample_step(q_ld, inp):
+        q, ld = q_ld
+        key, i = inp
+        k_hmc, k_swap = jax.random.split(key)
+        q, ld, acc = transition(q, k_hmc, eps, inv_mass)
+        q, ld, srate = swap(q, ld, k_swap, i % 2)
+        return (q, ld), (q[0], ld[0], jnp.mean(acc), srate)
+
+    ld_init, _ = base_vg(q)
+    (q, _), (samples, lds, accs, srates) = jax.lax.scan(
+        sample_step, (q, ld_init),
+        (keys[num_warmup:], steps[num_warmup:]))
+    return TemperedHMCResult(
+        samples=samples, logdensities=lds,
+        accept_rate=jnp.mean(accs), swap_rate=jnp.mean(srates),
+        step_sizes=eps, inv_mass=inv_mass)

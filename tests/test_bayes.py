@@ -159,3 +159,67 @@ def test_host_looped_hmc_matches_semantics():
     draws = np.asarray(res.samples).reshape(-1, 3)
     assert 0.4 < float(res.accept_rate) <= 1.0
     np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.25)
+
+
+def test_tempered_hmc_escapes_modes_plain_hmc_cannot():
+    """Parallel tempering (SURVEY.md 7.2: trig-multimodal posteriors need
+    tempering/multi-start): on a well-separated 1-D Gaussian mixture with
+    ALL chains initialized in the right mode, plain HMC stays stuck while
+    the replica-exchange sampler's cold rung visits both modes."""
+    from scfgp_tpu.bayes import hmc_sample, tempered_hmc_sample
+    from scfgp_tpu.bayes.tempering import geometric_ladder
+
+    sep, sig = 4.0, 0.3
+
+    def logdensity(q):
+        x = q[0]
+        return jnp.logaddexp(-0.5 * ((x - sep) / sig) ** 2,
+                             -0.5 * ((x + sep) / sig) ** 2)
+
+    C = 4
+    init = jnp.full((C, 1), sep, jnp.float32)  # all chains in the +mode
+    key = jax.random.PRNGKey(0)
+
+    plain = hmc_sample(logdensity, init, key, num_warmup=150,
+                       num_samples=300, num_integration_steps=8,
+                       init_step_size=0.1)
+    # every plain draw stays in the + mode (the barrier is ~ sep^2/sig^2)
+    assert float(jnp.min(plain.samples[..., 0])) > 0.0
+
+    temp = tempered_hmc_sample(
+        logdensity, init, key, betas=geometric_ladder(5, beta_min=0.02),
+        num_warmup=150, num_samples=300, num_integration_steps=8,
+        init_step_size=0.1)
+    cold = np.asarray(temp.samples[..., 0]).ravel()
+    frac_minus = float(np.mean(cold < 0.0))
+    assert 0.05 < frac_minus < 0.95, (
+        f"cold rung never crossed modes (frac_minus={frac_minus}, "
+        f"swap_rate={float(temp.swap_rate):.3f})")
+    assert float(temp.swap_rate) > 0.01
+
+
+def test_tempered_hmc_on_scfgp_posterior_is_finite():
+    """Replica-exchange over the real SCFGP log posterior: shapes + finite
+    draws + cold-rung logdensities not worse than init."""
+    from scfgp_tpu.bayes import tempered_hmc_sample, make_logposterior
+    from scfgp_tpu.bayes.predictive import reduced_dim
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.models.params import init_params, pack_params
+
+    D, S, M = 3, 4, 10
+    X, y = synthetic_gp_rff(n=256, d=D, s=S, m=M, noise_std=0.1, seed=0,
+                            dtype=np.float32)
+    logpost = make_logposterior(jnp.asarray(X), jnp.asarray(y), D, S, M)
+    P = reduced_dim(D, S, M)
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    init = jnp.stack([pack_params(
+        init_params(k, D, S, M, jnp.float32))[:P] for k in keys])
+
+    res = tempered_hmc_sample(logpost, init, jax.random.PRNGKey(2),
+                              num_warmup=40, num_samples=30,
+                              num_integration_steps=8,
+                              init_step_size=0.003)
+    assert res.samples.shape == (30, 3, P)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert np.isfinite(np.asarray(res.logdensities)).all()
+    assert res.step_sizes.shape == (4,)
