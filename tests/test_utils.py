@@ -150,3 +150,27 @@ def test_visualizer_training_gif(tmp_path):
     viz.save_animation(str(out))
     data = out.read_bytes()
     assert data[:6] in (b"GIF87a", b"GIF89a") and len(data) > 5_000
+
+
+def test_run_cli_fused_and_config(tmp_path):
+    """python -m scfgp_tpu equivalent: run.main() with flags and with a
+    config file; writes checkpoint + prints metrics."""
+    import json
+    from scfgp_tpu.run import main
+
+    out = tmp_path / "run"
+    res = main(["--dataset", "co2", "--sparsity", "6", "--nfeats", "8",
+                "--max-iter", "30", "--fused", "--seed", "0",
+                "--out", str(out)])
+    assert np.isfinite(res["metrics"]["NMSE"])
+    assert (out / "model.pkl").exists()
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "dataset": "boston",
+        "model": {"sparsity": 6, "nfeats": 8, "seed": 1},
+        "train": {"max_iter": 25,
+                  "optimizer": {"algo": "adamax", "learning_rate": 0.05}},
+    }))
+    res2 = main(["--config", str(cfg)])
+    assert np.isfinite(res2["metrics"]["RMSE"])
