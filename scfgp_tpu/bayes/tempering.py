@@ -47,7 +47,17 @@ class TemperedHMCResult(NamedTuple):
 
 def geometric_ladder(n_rungs: int, beta_min: float = 0.1,
                      dtype=jnp.float32) -> jax.Array:
-    """Geometric temperature ladder from 1.0 down to ``beta_min``."""
+    """Geometric temperature ladder from 1.0 down to ``beta_min``.
+
+    Ladder-spacing guidance: a swap between adjacent rungs accepts with
+    probability ~exp(-dbeta * dE), so rungs must satisfy
+    ``dbeta ≲ 1 / std(E)`` to mix.  For an N-row SCFGP posterior
+    ``std(logpost)`` grows like sqrt(N) — at N=2048 the default 4-rung
+    ladder measures swap_rate = 0 (TPU probe, docs/RESULTS.md) and needs
+    ~std_E-scaled spacing instead: ``n_rungs ≈ std_E * log(1/beta_min)``.
+    Monitor ``TemperedHMCResult.swap_rate`` (healthy: 0.2-0.6); the
+    low-dimensional multimodal regime (the bimodal escape test) works with
+    short ladders."""
     return jnp.asarray(
         jnp.geomspace(1.0, beta_min, n_rungs), dtype)
 
