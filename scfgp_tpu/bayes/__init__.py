@@ -5,4 +5,5 @@ from .nuts import (nuts_sample, nuts_sample_host_looped, nuts_sample_static,
 from .vi import fit_vi, vi_sample, VIResult
 from .predictive import make_logposterior, predictive_mixture
 from .tempering import (tempered_hmc_sample, geometric_ladder,
+                        energy_matched_ladder,
                         TemperedHMCResult)

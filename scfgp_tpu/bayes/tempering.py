@@ -54,12 +54,42 @@ def geometric_ladder(n_rungs: int, beta_min: float = 0.1,
     ``dbeta ≲ 1 / std(E)`` to mix.  For an N-row SCFGP posterior
     ``std(logpost)`` grows like sqrt(N) — at N=2048 the default 4-rung
     ladder measures swap_rate = 0 (TPU probe, docs/RESULTS.md) and needs
-    ~std_E-scaled spacing instead: ``n_rungs ≈ std_E * log(1/beta_min)``.
+    ``energy_matched_ladder`` (below), which measures std(E) and spaces
+    rungs to a target exponent.
     Monitor ``TemperedHMCResult.swap_rate`` (healthy: 0.2-0.6); the
     low-dimensional multimodal regime (the bimodal escape test) works with
     short ladders."""
     return jnp.asarray(
         jnp.geomspace(1.0, beta_min, n_rungs), dtype)
+
+
+def energy_matched_ladder(logdensity_fn: Callable, positions: jax.Array,
+                          beta_min: float = 0.1, target_gap: float = 1.0,
+                          max_rungs: int = 64) -> jax.Array:
+    """Ladder spaced by the MEASURED energy scale so swaps actually accept.
+
+    Swap acceptance between adjacent rungs is ~exp(-dbeta * dE); with
+    ``std_E = std(logpost over the supplied positions)`` (use draws from a
+    short plain-HMC warmup, or perturbed inits), spacing
+    ``dbeta = target_gap / std_E`` puts the expected exponent near
+    ``target_gap`` — the linear analog of the Kone-Kofke constant-
+    acceptance prescription.  Returns a LINEAR ladder
+    ``1, 1-d, 1-2d, ..., >= beta_min`` capped at ``max_rungs`` (rungs are
+    cheap on TPU: every rung batches through the same MXU matmuls).
+
+    Host-side helper (concrete float ladder; call outside jit).
+    """
+    import numpy as np
+    lds = np.asarray(jax.vmap(logdensity_fn)(positions), np.float64)
+    std_e = float(np.std(lds))
+    if not np.isfinite(std_e) or std_e < 1e-12:
+        return geometric_ladder(4, beta_min, positions.dtype)
+    d = max(target_gap / std_e, (1.0 - beta_min) / (max_rungs - 1))
+    n = int(np.floor((1.0 - beta_min) / d)) + 1
+    betas = 1.0 - d * np.arange(n)
+    if betas[-1] > beta_min + 1e-9:
+        betas = np.append(betas, beta_min)
+    return jnp.asarray(betas, positions.dtype)
 
 
 def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,

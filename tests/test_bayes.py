@@ -223,3 +223,32 @@ def test_tempered_hmc_on_scfgp_posterior_is_finite():
     assert np.isfinite(np.asarray(res.samples)).all()
     assert np.isfinite(np.asarray(res.logdensities)).all()
     assert res.step_sizes.shape == (4,)
+
+
+def test_energy_matched_ladder_gets_swaps_on_scfgp_posterior():
+    """The default coarse ladder accepts ~no swaps on a data-sized
+    posterior (dbeta * std(E) >> 1, measured on TPU); the energy-matched
+    ladder restores a healthy swap rate."""
+    from scfgp_tpu.bayes import tempered_hmc_sample, make_logposterior
+    from scfgp_tpu.bayes.tempering import energy_matched_ladder
+    from scfgp_tpu.bayes.predictive import reduced_dim
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.models.params import init_params, pack_params
+
+    D, S, M = 3, 4, 10
+    X, y = synthetic_gp_rff(n=256, d=D, s=S, m=M, noise_std=0.1, seed=0,
+                            dtype=np.float32)
+    logpost = make_logposterior(jnp.asarray(X), jnp.asarray(y), D, S, M)
+    P = reduced_dim(D, S, M)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    init = jnp.stack([pack_params(
+        init_params(k, D, S, M, jnp.float32))[:P] for k in keys])
+
+    betas = energy_matched_ladder(logpost, init, beta_min=0.5)
+    assert float(betas[0]) == 1.0 and betas.shape[0] >= 2
+    res = tempered_hmc_sample(logpost, init, jax.random.PRNGKey(2),
+                              betas=betas, num_warmup=60, num_samples=40,
+                              num_integration_steps=8,
+                              init_step_size=0.003)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert float(res.swap_rate) > 0.05, float(res.swap_rate)
