@@ -22,7 +22,8 @@ from ..models.params import unpack_params
 
 def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
                       include_phases: bool = False,
-                      phases=None):
+                      phases=None,
+                      streaming_block: int = 0):
     """log p(theta | data) up to a constant: -(nlml + penalty)/2.
 
     The reference's training cost is (nlml + penalty)/N (``reference:
@@ -35,14 +36,30 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
     target is the reduced vector ``[a, b, c, l_F, r_F]`` (dimension
     ``3 + DS + MS``) with phases pinned at ``phases`` (default zeros);
     ``include_phases=True`` keeps the full reference layout.
+
+    ``streaming_block > 0`` computes the identical cost through the
+    O(block)-memory two-pass objective (``ops/streaming.py``), so HMC/NUTS
+    can sample posteriors whose Phi tensor would not fit in HBM (N in the
+    millions) — each leapfrog gradient rematerializes Phi blockwise.  Data
+    parallelism composes the same way as training: ``jax.device_put`` X/y
+    with a row sharding and XLA reduces the block sums across chips.
     """
     n = X.shape[0]
+
+    if streaming_block:
+        from ..ops.streaming import loss_fn_streaming
+
+        def cost_of(p):
+            return loss_fn_streaming(p, X, y,
+                                     block_size=int(streaming_block))[0]
+    else:
+        def cost_of(p):
+            return loss_fn(p, X, y)[0]
 
     if include_phases:
         def logpost(theta):
             p = unpack_params(theta, D, S, M)
-            cost, _ = loss_fn(p, X, y)
-            return -0.5 * n * cost / temperature
+            return -0.5 * n * cost_of(p) / temperature
         return logpost
 
     import jax.numpy as jnp
@@ -56,8 +73,7 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
         theta_full = jnp.concatenate([theta, l_phase.astype(theta.dtype),
                                       phase.astype(theta.dtype)])
         p = unpack_params(theta_full, D, S, M)
-        cost, _ = loss_fn(p, X, y)
-        return -0.5 * n * cost / temperature
+        return -0.5 * n * cost_of(p) / temperature
 
     return logpost
 

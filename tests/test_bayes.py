@@ -252,3 +252,65 @@ def test_energy_matched_ladder_gets_swaps_on_scfgp_posterior():
                               init_step_size=0.003)
     assert np.isfinite(np.asarray(res.samples)).all()
     assert float(res.swap_rate) > 0.05, float(res.swap_rate)
+
+
+def test_streaming_logposterior_matches_dense():
+    """make_logposterior(streaming_block=...) is the identical target:
+    value and gradient match the dense path (incl. the ragged-tail padding
+    branch) so samplers can scale to N >> HBM without changing numerics."""
+    from scfgp_tpu.bayes.predictive import reduced_dim
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.models.params import init_params, pack_params
+
+    D, S, M = 3, 4, 10
+    X, y = synthetic_gp_rff(n=250, d=D, s=S, m=M, noise_std=0.1, seed=3,
+                            dtype=np.float32)
+    Xt, yt = jnp.asarray(X), jnp.asarray(y)
+    dense = make_logposterior(Xt, yt, D, S, M)
+    stream = make_logposterior(Xt, yt, D, S, M, streaming_block=64)
+    P = reduced_dim(D, S, M)
+    theta = pack_params(
+        init_params(jax.random.PRNGKey(0), D, S, M, jnp.float32))[:P]
+
+    v_d, g_d = jax.value_and_grad(dense)(theta)
+    v_s, g_s = jax.value_and_grad(stream)(theta)
+    np.testing.assert_allclose(float(v_s), float(v_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_hmc_over_data_sharded_rows():
+    """HMC where the training rows are sharded across the 8-device mesh:
+    the logposterior's row-sums become XLA all-reduces; the target must
+    equal the replicated one and the sampler must run healthily."""
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+    from scfgp_tpu.bayes.predictive import reduced_dim
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.models.params import init_params, pack_params
+    from scfgp_tpu.parallel.mesh import make_mesh
+
+    D, S, M = 3, 4, 10
+    X, y = synthetic_gp_rff(n=256, d=D, s=S, m=M, noise_std=0.1, seed=5,
+                            dtype=np.float32)
+    mesh = make_mesh()
+    Xs = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P_("data", None)))
+    ys = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P_("data")))
+    logpost_sh = make_logposterior(Xs, ys, D, S, M)
+    logpost_rep = make_logposterior(jnp.asarray(X), jnp.asarray(y), D, S, M)
+
+    P_red = reduced_dim(D, S, M)
+    keys = jax.random.split(jax.random.PRNGKey(6), 4)
+    init = jnp.stack([pack_params(
+        init_params(k, D, S, M, jnp.float32))[:P_red] for k in keys])
+
+    v_sh = jax.jit(jax.vmap(logpost_sh))(init)
+    v_rep = jax.jit(jax.vmap(logpost_rep))(init)
+    np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_rep),
+                               rtol=1e-5)
+
+    res = jax.jit(lambda q, k: hmc_sample(
+        logpost_sh, q, k, num_warmup=40, num_samples=30,
+        num_integration_steps=8, init_step_size=0.003))(
+        init, jax.random.PRNGKey(7))
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert float(res.accept_rate) > 0.2
