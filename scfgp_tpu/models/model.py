@@ -106,6 +106,8 @@ class SCFGP:
         self._rng = np.random.RandomState(seed)
         self.params: Optional[SCFGPParams] = None
         self.post: Optional[Posterior] = None
+        self.thetas = None        # posterior draws from fit_bayes
+        self.bayes_result = None  # sampler diagnostics from fit_bayes
         self.N = self.D = -1
         self.X = self.y = None
         self.min_obj_ind = 0
@@ -431,6 +433,97 @@ class SCFGP:
         self.optimize_fused(Xv, yv, **opt_params)
         return self
 
+    def fit_bayes(self, X, y, Xv=None, yv=None, sampler: str = "hmc",
+                  chains: int = 8, num_warmup: int = 200,
+                  num_samples: int = 200, num_integration_steps: int = 16,
+                  init_step_size: float = 0.003, depth: int = 5,
+                  betas=None, thin: int = 1, streaming_block: int = 0,
+                  max_rungs: int = 32, target_accept: float = 0.8):
+        """One-call Bayesian fit: chain-parallel sampling over the
+        hyperparameter posterior + posterior-predictive mixing.
+
+        The reference is MAP-only (point estimate + KL penalty,
+        ``reference: SCFGP/SCFGP.py:94,114-127``; SURVEY.md §2.4 lists chain
+        parallelism as an explicit absence) — this is the new-capability
+        path.  ``sampler``:
+
+          * ``"hmc"`` — fused chain-parallel HMC (``bayes/hmc.py``),
+          * ``"nuts"`` — fixed-budget multinomial NUTS, the TPU-compilable
+            static variant (``bayes/nuts.py::nuts_sample_static``),
+          * ``"tempered"`` — replica-exchange HMC with an energy-matched
+            ladder for the trig-multimodal posterior
+            (``bayes/tempering.py``; SURVEY.md §7.2).
+
+        Sampling runs in the phase-free reduced space (phases are pure
+        gauge — see ``bayes/predictive.py::make_logposterior``).
+        ``streaming_block > 0`` uses the O(block)-memory objective so the
+        posterior scales to N ≫ HBM.  Draws (thinned by ``thin``) are kept
+        on ``self.thetas`` for ``predict_bayes``; sampler diagnostics on
+        ``self.bayes_result``.
+        """
+        from ..bayes import (hmc_sample, nuts_sample_static,
+                             tempered_hmc_sample, make_logposterior)
+        from ..bayes.predictive import reduced_dim
+        from ..bayes.tempering import energy_matched_ladder
+        from .params import pack_params
+
+        self.set_data(X, y)
+        if self.extra_basis is not None:
+            raise NotImplementedError(
+                "fit_bayes does not support extra_basis composite models")
+        logpost = make_logposterior(self.X, self.y, self.D, self.S, self.M,
+                                    streaming_block=streaming_block)
+        P = reduced_dim(self.D, self.S, self.M)
+        keys = jax.random.split(
+            jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1)), chains)
+        init = jnp.stack([pack_params(
+            init_params(k, self.D, self.S, self.M, self.dtype))[:P]
+            for k in keys])
+        skey = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
+
+        if sampler == "hmc":
+            run = jax.jit(lambda q, k: hmc_sample(
+                logpost, q, k, num_warmup=num_warmup,
+                num_samples=num_samples,
+                num_integration_steps=num_integration_steps,
+                init_step_size=init_step_size,
+                target_accept=target_accept))
+        elif sampler == "nuts":
+            run = jax.jit(lambda q, k: nuts_sample_static(
+                logpost, q, k, num_warmup=num_warmup,
+                num_samples=num_samples, depth=depth,
+                init_step_size=init_step_size,
+                target_accept=target_accept))
+        elif sampler == "tempered":
+            if betas is None:
+                betas = energy_matched_ladder(logpost, init,
+                                              max_rungs=max_rungs)
+            ladder = jnp.asarray(betas, self.dtype)
+            run = jax.jit(lambda q, k: tempered_hmc_sample(
+                logpost, q, k, betas=ladder, num_warmup=num_warmup,
+                num_samples=num_samples,
+                num_integration_steps=num_integration_steps,
+                init_step_size=init_step_size,
+                target_accept=target_accept))
+        else:
+            raise ValueError(
+                f"unknown sampler '{sampler}' (hmc|nuts|tempered)")
+
+        t0 = time.time()
+        res = run(init, skey)
+        draws = np.asarray(res.samples)  # host readback = honest clock end
+        wall = time.time() - t0
+        self.bayes_result = res
+        self.thetas = jnp.asarray(
+            draws[::max(thin, 1)].reshape(-1, draws.shape[-1]), self.dtype)
+        self.evals["TIME(s)"][1].append(wall)
+        self.message("Bayes fit: %s accept=%.3f draws=%d wall=%.1fs" % (
+            sampler, float(res.accept_rate), self.thetas.shape[0], wall))
+        if Xv is not None and yv is not None:
+            self.predict_bayes(Xv, yv)
+            self.min_obj_ind = -1
+        return self
+
     def _minibatches(self, batchsize, shuffle=True):
         """Shuffled minibatch generator (SCFGP.py:172-182)."""
         n = self.X.shape[0]
@@ -458,12 +551,43 @@ class SCFGP:
                 "(or load() a checkpoint with a stored posterior)")
         mu_f, std_f = _jitted_predict(self.params, self.post, Xs_t,
                                       basis_fn=self.extra_basis)
+        return self._unscale_moments(mu_f, std_f)
+
+    def _unscale_moments(self, mu_f, std_f):
+        """Scaled-space (mu, std) -> original units, half-range std rule
+        (SCFGP.py:281-284)."""
         mu_f = np.asarray(mu_f)[:, None]
         std_f = np.asarray(std_f)[:, None]
         mu_y = np.asarray(self.y_scaler.backward_transform(mu_f))
         up = np.asarray(self.y_scaler.backward_transform(mu_f + std_f))
         dn = np.asarray(self.y_scaler.backward_transform(mu_f - std_f))
         std_y = 0.5 * (up - dn)
+        return mu_y, std_y
+
+    def predict_bayes(self, Xs, ys=None):
+        """Posterior-predictive mean/std mixing over ``fit_bayes`` draws,
+        in original units (law of total variance over hyperparameter
+        samples; same un-scaling rule as ``predict``).  Logs the same
+        metric series as ``predict`` when ``ys`` is given."""
+        from ..bayes.predictive import predictive_mixture
+        if getattr(self, "thetas", None) is None:
+            raise RuntimeError(
+                "predict_bayes() before sampling: call fit_bayes() first")
+        if self.X is None:
+            # Checkpoints store draws but not training data (same policy as
+            # the reference's pickle, SCFGP.py:298-299): mixing conditions
+            # each draw on the data, so restore it first.
+            raise RuntimeError(
+                "predict_bayes() after load(): call set_data() with the "
+                "original training data first (draws condition on it)")
+        Xs_t = jnp.asarray(self.X_scaler.forward_transform(Xs), self.dtype)
+        mu_f, std_f = predictive_mixture(self.thetas, self.X, self.y, Xs_t,
+                                         self.D, self.S, self.M)
+        mu_y, std_y = self._unscale_moments(mu_f, std_f)
+        if ys is not None:
+            ys = np.asarray(ys).reshape(-1, 1)
+            for k, v in regression_metrics(mu_y, std_y, ys).items():
+                self.evals[k][1].append(v)
         return mu_y, std_y
 
     def predict(self, Xs, ys=None):
@@ -500,6 +624,8 @@ class SCFGP:
                 np.asarray, self.post),
             "evals": self.evals,
             "min_obj_ind": self.min_obj_ind,
+            "thetas": None if self.thetas is None else np.asarray(
+                self.thetas),
         }
         with open(path, "wb") as f:
             pickle.dump(state, f, pickle.HIGHEST_PROTOCOL)
@@ -522,6 +648,8 @@ class SCFGP:
                 Posterior(*state["post"]))
         self.evals = state["evals"]
         self.min_obj_ind = state.get("min_obj_ind", 0)
+        if state.get("thetas") is not None:
+            self.thetas = jnp.asarray(state["thetas"], self.dtype)
         self.NAME = "SCFGP (Sparsity=%d, Fourier Features=%d)" % (self.S, self.M)
         return self
 

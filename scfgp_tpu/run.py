@@ -56,6 +56,14 @@ def main(argv=None):
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--fused", action="store_true",
                     help="device-fused training loop (fit_fast)")
+    ap.add_argument("--bayes", choices=["hmc", "nuts", "tempered"],
+                    default=None,
+                    help="sample the hyperparameter posterior instead of "
+                         "MAP training; metrics use the posterior-"
+                         "predictive mixture")
+    ap.add_argument("--chains", type=int, default=8)
+    ap.add_argument("--samples", type=int, default=200)
+    ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--out", default=None,
@@ -100,7 +108,23 @@ def main(argv=None):
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         kwargs["log_file"] = os.path.join(out_dir, "metrics.jsonl")
-    if tcfg.fused:
+    bayes_info = None
+    if args.bayes or raw.get("bayes"):
+        bcfg = dict(raw.get("bayes") or {})
+        if args.bayes:
+            bcfg["sampler"] = args.bayes
+        bcfg.setdefault("sampler", "hmc")
+        bcfg.setdefault("chains", args.chains)
+        bcfg.setdefault("num_samples", args.samples)
+        bcfg.setdefault("num_warmup", args.warmup)
+        model.fit_bayes(Xt, yt, Xv, yv, **bcfg)
+        res = model.bayes_result
+        bayes_info = {"sampler": bcfg["sampler"],
+                      "accept_rate": round(float(res.accept_rate), 3),
+                      "draws": int(model.thetas.shape[0])}
+        if hasattr(res, "swap_rate"):
+            bayes_info["swap_rate"] = round(float(res.swap_rate), 4)
+    elif tcfg.fused:
         for k in ("nbatches", "batchsize", "log_file"):
             kwargs.pop(k, None)
         model.fit_fast(Xt, yt, Xv, yv, **kwargs)
@@ -114,6 +138,8 @@ def main(argv=None):
                     for k in ("MAE", "NMSE", "RMSE", "MNLP", "SCORE")
                     if model.evals[k][1]},
     }
+    if bayes_info:
+        result["bayes"] = bayes_info
     if out_dir:
         ckpt = os.path.join(out_dir, "model.pkl")
         model.save(ckpt)

@@ -71,3 +71,60 @@ def test_bf16_mm_dtype_trains_without_nan():
     m.fit(X[:250], y[:250], X[250:], y[250:], max_iter=100)
     nmse = m.evals["NMSE"][1][m.min_obj_ind]
     assert np.isfinite(nmse) and nmse < 0.08, nmse
+
+
+def test_fit_bayes_hmc_and_predict_bayes():
+    """Model-level one-call Bayesian fit: draws stored, predictive mixture
+    in original units, metrics logged, checkpoint round-trips the draws."""
+    import os
+    import tempfile
+    import jax.numpy as jnp
+    from scfgp_tpu import SCFGP
+
+    rng = np.random.RandomState(0)
+    X = rng.rand(140, 2) * 4
+    y = np.sin(X[:, 0] * 2) + 0.5 * X[:, 1] + 0.1 * rng.randn(140)
+    Xt, yt, Xv, yv = X[:120], y[:120], X[120:], y[120:]
+
+    m = SCFGP(sparsity=2, nfeats=6, seed=0)
+    m.fit_bayes(Xt, yt, Xv, yv, sampler="hmc", chains=3, num_warmup=60,
+                num_samples=40, num_integration_steps=8, thin=4)
+    assert m.thetas is not None and m.thetas.ndim == 2
+    assert float(m.bayes_result.accept_rate) > 0.2
+    # validation metrics were logged by the fit call
+    assert m.evals["RMSE"][1] and np.isfinite(m.evals["RMSE"][1][-1])
+
+    mu, std = m.predict_bayes(Xv, yv)
+    assert mu.shape[0] == Xv.shape[0]
+    assert np.isfinite(mu).all() and (std > 0).all()
+    rmse = float(np.sqrt(np.mean((mu.ravel() - yv) ** 2)))
+    assert rmse < 2.0 * np.std(yv)
+
+    # draws survive a checkpoint; prediction needs the data back (same
+    # policy as the reference pickle: no training data stored)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.pkl")
+        m.save(path)
+        m2 = SCFGP(seed=1)
+        m2.load(path)
+        assert m2.thetas is not None
+        with pytest.raises(RuntimeError):
+            m2.predict_bayes(Xv)
+        m2.set_data(Xt, yt)
+        mu2, _ = m2.predict_bayes(Xv)
+        np.testing.assert_allclose(mu2, mu, rtol=1e-4, atol=1e-5)
+
+
+def test_fit_bayes_tempered_smoke():
+    """Tempered path through the model API builds an energy-matched ladder
+    and returns finite draws with a measurable swap rate field."""
+    from scfgp_tpu import SCFGP
+
+    rng = np.random.RandomState(1)
+    X = rng.rand(100, 2) * 4
+    y = np.sin(X[:, 0] * 2) + 0.1 * rng.randn(100)
+    m = SCFGP(sparsity=2, nfeats=5, seed=2)
+    m.fit_bayes(X, y, sampler="tempered", chains=2, num_warmup=40,
+                num_samples=25, num_integration_steps=6, max_rungs=8)
+    assert np.isfinite(np.asarray(m.thetas)).all()
+    assert 0.0 <= float(m.bayes_result.swap_rate) <= 1.0
