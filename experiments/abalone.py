@@ -45,7 +45,9 @@ def main():
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results", "abalone")
-    summary = run_sweep("abalone", load_abalone, nfeats, sparsity=20,
+    # sparsity=-1 (full rank) matches the reference's legacy-API protocol
+    # SCFGP(-1, feature_size) (abalone.py:58).
+    summary = run_sweep("abalone", load_abalone, nfeats, sparsity=-1,
                         trials=trials, opt_params=opt_params, out_dir=out)
     print("RMSE means:", summary["metrics"]["RMSE"]["mean"])
     print("MNLP means:", summary["metrics"]["MNLP"]["mean"])

@@ -33,14 +33,16 @@ def main():
     trials = args.trials or (2 if args.quick else 50)
     nfeats = [10, 30] if args.quick else [10, 20, 30, 40, 50]
     opt_params = {
-        # Reference config: adam lr .01, max_iter 200, cvrg_tol 1e-5,
-        # max_cvrg 8 (boston_housing.py:24-40).
+        # Reference optimizer (boston_housing.py:24-40) with patience
+        # extended (max_iter 200->500, max_cvrg 8->18): measured mean
+        # NMSE/floor improves 1.5x -> 1.3x on the surrogate (docs/RESULTS.md
+        # floor table); iterations are ~free on the fused TPU loop.
         "algo": {"algo": "adam",
                  "algo_params": {"learning_rate": 0.01, "beta1": 0.9,
                                  "beta2": 0.999, "epsilon": 1e-8}},
-        "max_iter": 200,
+        "max_iter": 500,
         "cvrg_tol": 1e-5,
-        "max_cvrg": 8,
+        "max_cvrg": 18,
         "obj": "SCORE",
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -43,7 +43,9 @@ def main():
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results", "kin8nm")
-    summary = run_sweep("kin8nm", load_kin8nm, nfeats, sparsity=20,
+    # sparsity=-1 (full rank) matches the reference's legacy-API protocol
+    # SCFGP(-1, feature_size) (kin8nm.py:53).
+    summary = run_sweep("kin8nm", load_kin8nm, nfeats, sparsity=-1,
                         trials=trials, opt_params=opt_params, out_dir=out)
     print("RMSE means:", summary["metrics"]["RMSE"]["mean"])
     print("MNLP means:", summary["metrics"]["MNLP"]["mean"])

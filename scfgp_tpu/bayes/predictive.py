@@ -23,7 +23,8 @@ from ..models.params import unpack_params
 def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
                       include_phases: bool = False,
                       phases=None,
-                      streaming_block: int = 0):
+                      streaming_block: int = 0,
+                      basis_fn=None):
     """log p(theta | data) up to a constant: -(nlml + penalty)/2.
 
     The reference's training cost is (nlml + penalty)/N (``reference:
@@ -50,11 +51,11 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
         from ..ops.streaming import loss_fn_streaming
 
         def cost_of(p):
-            return loss_fn_streaming(p, X, y,
+            return loss_fn_streaming(p, X, y, basis_fn=basis_fn,
                                      block_size=int(streaming_block))[0]
     else:
         def cost_of(p):
-            return loss_fn(p, X, y)[0]
+            return loss_fn(p, X, y, basis_fn=basis_fn)[0]
 
     if include_phases:
         def logpost(theta):
@@ -83,11 +84,20 @@ def reduced_dim(D, S, M) -> int:
     return 3 + D * S + M * S
 
 
-def predictive_mixture(thetas, X, y, Xs, D, S, M):
+def predictive_mixture(thetas, X, y, Xs, D, S, M, basis_fn=None,
+                       chunk: int = 8, streaming_block: int = 0):
     """Posterior-predictive mean/std at Xs mixing over theta samples.
 
     ``thetas``: (num_samples, P) flat draws.  Returns (mu, std) in the
     *scaled* target space (un-scaling is the model layer's job).
+
+    Memory shape: draws are processed in vmapped chunks of ``chunk`` under a
+    ``lax.scan`` accumulating running moments — peak Phi memory is
+    O(chunk * N * K) instead of O(draws * N * K), so posteriors with many
+    draws predict at the same scale they sampled at.  ``streaming_block > 0``
+    additionally routes each per-draw solve through the O(block)-memory
+    objective (``ops/streaming.py``), matching ``fit_bayes``'s
+    ``streaming_block`` for N beyond HBM.
     """
     reduced = reduced_dim(D, S, M)
     if thetas.shape[-1] == reduced:
@@ -98,11 +108,41 @@ def predictive_mixture(thetas, X, y, Xs, D, S, M):
 
     def one(theta):
         p = unpack_params(theta, D, S, M)
-        _, aux = loss_fn(p, X, y)
-        mu, std = predict_f(p, aux.post, Xs)
+        if streaming_block:
+            from ..ops.streaming import loss_fn_streaming
+            _, aux = loss_fn_streaming(p, X, y, basis_fn=basis_fn,
+                                       block_size=int(streaming_block))
+        else:
+            _, aux = loss_fn(p, X, y, basis_fn=basis_fn)
+        mu, std = predict_f(p, aux.post, Xs, basis_fn=basis_fn)
         return mu, std
 
-    mus, stds = jax.vmap(one)(thetas)
-    mu = jnp.mean(mus, axis=0)
-    var = jnp.mean(stds**2, axis=0) + jnp.var(mus, axis=0)
+    n_draws = thetas.shape[0]
+    chunk = max(1, min(int(chunk), n_draws))
+    pad_n = (-n_draws) % chunk
+    w = jnp.concatenate([jnp.ones(n_draws, thetas.dtype),
+                         jnp.zeros(pad_n, thetas.dtype)])
+    if pad_n:
+        thetas = jnp.concatenate(
+            [thetas, jnp.broadcast_to(thetas[-1:], (pad_n,) + thetas.shape[1:])])
+    tc = thetas.reshape(-1, chunk, thetas.shape[-1])
+    wc = w.reshape(-1, chunk)
+
+    ns = Xs.shape[0]
+    zeros = jnp.zeros((ns,), thetas.dtype)
+
+    def body(carry, tw):
+        s_mu, s_mu2, s_var = carry
+        t, wgt = tw
+        mus, stds = jax.vmap(one)(t)          # (chunk, ns)
+        wgt = wgt[:, None]
+        return (s_mu + jnp.sum(mus * wgt, axis=0),
+                s_mu2 + jnp.sum(mus * mus * wgt, axis=0),
+                s_var + jnp.sum(stds * stds * wgt, axis=0)), None
+
+    (s_mu, s_mu2, s_var), _ = jax.lax.scan(
+        body, (zeros, zeros, zeros), (tc, wc))
+    mu = s_mu / n_draws
+    # Law of total variance; jnp.var's biased (1/n) convention preserved.
+    var = s_var / n_draws + jnp.maximum(s_mu2 / n_draws - mu * mu, 0.0)
     return mu, jnp.sqrt(var)

@@ -103,7 +103,22 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
     C, P = init_positions.shape
     dtype = init_positions.dtype
     if betas is None:
-        betas = geometric_ladder(4, dtype=dtype)
+        # The fixed geometric_ladder(4) default measured swap_rate = 0 on a
+        # data-sized posterior (docs/RESULTS.md): dbeta ~ 0.3 vs the required
+        # ~1/std(E).  Auto-match the ladder to the measured energy scale when
+        # the inits are concrete; inside a jit trace that is impossible, so
+        # warn loudly and fall back.
+        import warnings
+        try:
+            betas = energy_matched_ladder(logdensity_fn, init_positions)
+        except Exception:
+            warnings.warn(
+                "tempered_hmc_sample: betas=None under tracing falls back to"
+                " geometric_ladder(4), which does NOT mix on data-sized"
+                " posteriors (swap_rate=0 measured). Build an"
+                " energy_matched_ladder from warmed-up positions outside jit"
+                " and pass it explicitly.", stacklevel=2)
+            betas = geometric_ladder(4, dtype=dtype)
     betas = jnp.asarray(betas, dtype)
     T = betas.shape[0]
     # cold rung first: the output draws are q[0]

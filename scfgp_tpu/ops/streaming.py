@@ -50,18 +50,32 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
                       block_size: int = 4096,
                       axis_name: Optional[str] = None,
                       feature_impl: str = "xla",
-                      stats_impl: str = "xla"):
+                      stats_impl: str = "xla",
+                      basis_fn=None):
     """Drop-in replacement for ``loss_fn`` with O(block_size) memory.
 
     ``stats_impl='pallas'`` routes pass 1 through the fused Phi-free Gram
     kernel (``scfgp_tpu.ops.gram``) — the feature tensor never exists even
-    per-block."""
+    per-block.  ``basis_fn`` appends fixed composite-model columns per block
+    (same semantics as ``loss_fn``; requires the default xla stats path)."""
     y = y.reshape(-1)
     sig2_n = jnp.exp(2.0 * p.a)
     noise = softplus(p.c)
     Xb, yb, wb = _pad_blocks(X, y, w, block_size)
+    n_basis = 0 if basis_fn is None else int(basis_fn(X[:1]).shape[1])
+
+    def features(p, Xi):
+        Phi = fourier_features(p, Xi, impl=feature_impl)
+        if basis_fn is not None:
+            Phi = jnp.concatenate([Phi, basis_fn(Xi).astype(Phi.dtype)],
+                                  axis=1)
+        return Phi
 
     if stats_impl == "pallas":
+        if basis_fn is not None:
+            raise NotImplementedError(
+                "basis_fn requires stats_impl='xla' (the Phi-free Pallas "
+                "Gram kernel has no extra-column slot)")
         from .gram import sufficient_stats_pallas
 
         @jax.checkpoint
@@ -70,15 +84,14 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
     else:
         @jax.checkpoint
         def stats_block(p, Xi, yi, wi):
-            Phi = fourier_features(p, Xi, impl=feature_impl)
-            return sufficient_stats(Phi, yi, wi)
+            return sufficient_stats(features(p, Xi), yi, wi)
 
     def pass1(carry, blk):
         Xi, yi, wi = blk
         s = stats_block(p, Xi, yi, wi)
         return jax.tree.map(jnp.add, carry, s), None
 
-    K2 = 2 * (p.S + p.M)
+    K2 = 2 * (p.S + p.M) + n_basis
     zero_stats = SufficientStats(
         phiTphi=jnp.zeros((K2, K2), X.dtype),
         phiTy=jnp.zeros((K2,), X.dtype),
@@ -88,7 +101,7 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
         # Inside shard_map the accumulated stats are varying over the data
         # axis; the zero init must carry the same varying-axis annotation.
         zero_stats = jax.tree.map(
-            lambda t: jax.lax.pvary(t, axis_name), zero_stats)
+            lambda t: jax.lax.pcast(t, axis_name, to="varying"), zero_stats)
     stats, _ = jax.lax.scan(pass1, zero_stats, (Xb, yb, wb))
     if axis_name is not None:
         stats = psum_stats(stats, axis_name)
@@ -96,8 +109,7 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
 
     @jax.checkpoint
     def enll_block(p, post, Xi, yi, wi):
-        Phi = fourier_features(p, Xi, impl=feature_impl)
-        mu_f, var_f = latent_moments(Phi, post)
+        mu_f, var_f = latent_moments(features(p, Xi), post)
         rows = expected_nll_rows(mu_f, var_f, yi, noise)
         return jnp.sum(rows * wi)
 
@@ -107,7 +119,7 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
 
     zero_enll = jnp.zeros((), X.dtype)
     if axis_name is not None:
-        zero_enll = jax.lax.pvary(zero_enll, axis_name)
+        zero_enll = jax.lax.pcast(zero_enll, axis_name, to="varying")
     enll_sum, _ = jax.lax.scan(pass2, zero_enll, (Xb, yb, wb))
     if axis_name is not None:
         enll_sum = jax.lax.psum(enll_sum, axis_name)

@@ -83,7 +83,7 @@ def fused_optimize(value_and_grad_fn: Callable, tx: Transform, params,
         anneal = cvrg_iter > (max_cvrg * 0.5)
         params = jax.tree.map(
             lambda p_, a_: jnp.where(
-                anneal, (1.0 - randp) * p_ + randp * a_, p_),
+                anneal, (1.0 - randp) * p_ + randp * a_, p_).astype(p_.dtype),
             params, argmin)
 
         cost_hist = c["cost_hist"].at[c["it"]].set(cost)

@@ -110,7 +110,17 @@ def main(argv=None):
         kwargs["log_file"] = os.path.join(out_dir, "metrics.jsonl")
     bayes_info = None
     if args.bayes or raw.get("bayes"):
-        bcfg = dict(raw.get("bayes") or {})
+        # Accept "bayes": true (boolean opt-in) as well as a config dict;
+        # validate keys against fit_bayes's signature for a clear error.
+        import inspect
+        raw_b = raw.get("bayes")
+        bcfg = dict(raw_b) if isinstance(raw_b, dict) else {}
+        allowed = set(inspect.signature(model.fit_bayes).parameters) - {
+            "X", "y", "Xv", "yv"}
+        unknown = set(bcfg) - allowed
+        if unknown:
+            raise SystemExit(f"unknown bayes config keys: {sorted(unknown)} "
+                             f"(allowed: {sorted(allowed)})")
         if args.bayes:
             bcfg["sampler"] = args.bayes
         bcfg.setdefault("sampler", "hmc")

@@ -32,27 +32,49 @@ PLOT_METRICS = ("MAE", "NMAE", "MSE", "NMSE", "RMSE", "MNLP", "SCORE",
 
 def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
               sparsity: int, trials: int, opt_params: dict,
-              out_dir: str, seed0: int = 0, verbose: bool = False) -> dict:
+              out_dir: str, seed0: int = 0, verbose: bool = False,
+              fused: bool = True) -> dict:
     """Sweep feature sizes x trials; returns summary and writes artifacts.
 
     Artifacts in ``out_dir``: ``best_model.pkl`` (SCORE tournament winner,
     reference ``boston_housing.py:90-102``), ``results.json`` (per-config
     metric mean/std), ``plots/<metric>.png`` errorbar plots.
+
+    ``fused=True`` (default) trains each trial with the device-fused loop:
+    one compile per feature size, every further trial a warm ~1 s run —
+    what makes reference-scale trial counts (50 x 5) minutes on TPU.  When
+    the data is a synthetic surrogate, the per-split Bayes floor
+    (``datasets.surrogate_floor``) is measured alongside and reported as
+    ``floor`` mean/std plus per-size achieved/floor ratios.
     """
+    from ..data.datasets import ORACLES, surrogate_floor
+
     os.makedirs(os.path.join(out_dir, "plots"), exist_ok=True)
     results = {m: {"mean": [], "std": []} for m in PLOT_METRICS}
+    floor_results = {m: {"mean": [], "std": []} for m in
+                     ("MAE", "MSE", "RMSE", "NMSE")}
+    ratio_nmse = []
     best_score = np.inf
     summary_meta = None
 
     for nfeats in nfeats_choices:
         per_trial = {m: [] for m in PLOT_METRICS}
+        per_floor = {m: [] for m in floor_results}
         for rep in range(trials):
             Xt, yt, Xv, yv, meta = loader(seed=seed0 + rep)
             summary_meta = meta
+            if meta.get("source") == "synthetic-surrogate" \
+                    and meta.get("name") in ORACLES:
+                fl = surrogate_floor(meta["name"], Xv, yv)
+                for m in per_floor:
+                    per_floor[m].append(fl[m])
             model = SCFGP(sparsity=sparsity, nfeats=int(nfeats),
                           seed=seed0 + rep, verbose=verbose)
             t0 = time.time()
-            model.fit(Xt, yt, Xv, yv, **opt_params)
+            if fused:
+                model.fit_fast(Xt, yt, Xv, yv, **opt_params)
+            else:
+                model.fit(Xt, yt, Xv, yv, **opt_params)
             ix = model.min_obj_ind
             for m in PLOT_METRICS:
                 series = model.evals[m][1]
@@ -66,6 +88,13 @@ def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
         for m in PLOT_METRICS:
             results[m]["mean"].append(float(np.mean(per_trial[m])))
             results[m]["std"].append(float(np.std(per_trial[m])))
+        for m in floor_results:
+            if per_floor[m]:
+                floor_results[m]["mean"].append(float(np.mean(per_floor[m])))
+                floor_results[m]["std"].append(float(np.std(per_floor[m])))
+        if per_floor["NMSE"]:
+            ratio_nmse.append(results["NMSE"]["mean"][-1]
+                              / floor_results["NMSE"]["mean"][-1])
 
     summary = {
         "name": name,
@@ -76,6 +105,9 @@ def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
         "best_score": float(best_score),
         "metrics": results,
     }
+    if ratio_nmse:
+        summary["floor"] = floor_results
+        summary["nmse_over_floor"] = [round(r, 4) for r in ratio_nmse]
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(summary, f, indent=2)
     _plot_sweep(name, nfeats_choices, results, os.path.join(out_dir, "plots"))

@@ -108,7 +108,9 @@ def test_scfgp_posterior_nuts_and_predictive():
     mu, std = predictive_mixture(thetas, Xt, yt, Xv, D, S, M)
     assert np.isfinite(np.asarray(mu)).all()
     rmse_bayes = float(np.sqrt(np.mean((np.asarray(mu) - yv) ** 2)))
-    assert rmse_bayes < 3.0 * np.std(yv)
+    # Must beat a constant predictor (rmse = std) by a clear margin — the
+    # round-1 bound (3 * std) was satisfiable by predicting the mean.
+    assert rmse_bayes < 0.5 * np.std(yv), rmse_bayes
 
 
 def test_chain_parallel_sharded_across_mesh():
@@ -222,7 +224,11 @@ def test_tempered_hmc_on_scfgp_posterior_is_finite():
     assert res.samples.shape == (30, 3, P)
     assert np.isfinite(np.asarray(res.samples)).all()
     assert np.isfinite(np.asarray(res.logdensities)).all()
-    assert res.step_sizes.shape == (4,)
+    # betas=None now auto-builds an energy-matched ladder from the measured
+    # std(E) (the fixed geometric_ladder(4) default never swapped on
+    # data-sized posteriors): one step size per rung, cold rung beta=1.
+    T = res.step_sizes.shape[0]
+    assert T >= 2 and res.inv_mass.shape == (T, P)
 
 
 def test_energy_matched_ladder_gets_swaps_on_scfgp_posterior():

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scfgp_tpu import SCFGP
 from scfgp_tpu.data.datasets import synthetic_gp_rff, load_co2
