@@ -1,21 +1,26 @@
-"""Headline benchmark: NLML-grad evaluations per second per chip.
+"""Headline benchmark: NLML-grad evaluations per second per chip, with MFU.
 
 Measures the full SCFGP training step (feature map -> Gram -> Cholesky
 posterior -> closed-form expected NLL -> gradient -> adam+nesterov update)
 on the kin8nm-scale config (N=8192, D=8, S=50, M=200 => 2(S+M)=500
-features), f32, steps chained inside one jit via lax.scan so dispatch
-latency is excluded.
+features), steps chained inside one jit via lax.scan so dispatch latency is
+excluded, timed to a HOST READBACK (the tunneled TPU's block_until_ready can
+return before execution finishes — CLAUDE.md).
+
+Legs: f32 XLA (primary), bf16-MXU GEMMs (mm_dtype), Pallas fused feature
+map.  FLOPs per step come from XLA's own cost analysis of the compiled
+program, so the printed MFU = flops * steps/s / v5e-bf16-peak is the
+compiler's count, not a hand estimate.
 
 Baseline: the reference's kin8nm training at m~212 took ~395 s for a <=500
-iteration run (BASELINE.md, read off experiments/kin8nm/plots/time(s).png),
-i.e. ~1.27 NLML-grad evals/s on the author's CPU/Theano setup.
+iteration run (BASELINE.md) => ~1.27 NLML-grad evals/s on the author's
+CPU/Theano setup.  vs_baseline keeps that ratio for continuity; the
+efficiency story (ms/step, MFU, per-leg rates) is in the extra keys and
+docs/RESULTS.md.
 
-Robustness: the measurement runs in a subprocess with a hard timeout — this
-environment's tunneled TPU occasionally wedges (see CLAUDE.md); if the TPU
-measurement cannot complete, a clearly-labeled CPU fallback number is
-printed instead so the driver always receives its one JSON line.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness: the measurement runs in a subprocess with a hard timeout; if the
+TPU cannot complete, a clearly-labeled CPU fallback is printed so the driver
+always receives its one JSON line.
 """
 
 import json
@@ -24,6 +29,7 @@ import subprocess
 import sys
 
 BASELINE_EVALS_PER_S = 500.0 / 395.0  # reference kin8nm: ~1.27 evals/s
+V5E_PEAK_FLOPS = 197e12               # TPU v5e bf16/f32-accum MXU peak
 
 _WORKER = r"""
 import json, sys, time
@@ -46,31 +52,58 @@ y = jnp.asarray(np.sin(rng.rand(N) * 6) + 0.1 * rng.randn(N), jnp.float32)
 params = init_params(jax.random.PRNGKey(0), D, S, M, jnp.float32)
 tx = make_optimizer("adam", {"learning_rate": 0.01})
 opt_state = tx.init(params)
-vg = jax.value_and_grad(lambda p: loss_fn(p, X, y)[0])
 
-def one(carry, _):
-    p, st = carry
-    cost, g = vg(p)
-    delta, st = tx.update(g, st, p)
-    return (tree_add(p, delta), st), cost
+def make_run(feature_impl, mm_dtype):
+    vg = jax.value_and_grad(
+        lambda p, X_, y_: loss_fn(p, X_, y_, feature_impl=feature_impl,
+                                  mm_dtype=mm_dtype)[0])
 
-@jax.jit
-def run(p, st):
-    (p, st), costs = jax.lax.scan(one, (p, st), None, length=STEPS)
-    return p, st, costs[-1]
+    def one(carry, _):
+        p, st = carry
+        cost, g = vg(p, X, y)
+        delta, st = tx.update(g, st, p)
+        return (tree_add(p, delta), st), cost
 
-p, st, c = run(params, opt_state)
-float(c)  # HOST READBACK - the tunneled TPU's block_until_ready can return
-          # before execution finishes (measured 0.1 ms/"step" on programs
-          # whose HBM traffic alone needs >2 ms); timing to a value fetch
-          # is the honest clock.
-t0 = time.perf_counter()
-reps = 3
-for _ in range(reps):
-    p, st, c = run(p, st)
-final = float(c)
-dt = time.perf_counter() - t0
-print(json.dumps({"evals_per_s": STEPS * reps / dt,
+    @jax.jit
+    def run(p, st):
+        (p, st), costs = jax.lax.scan(one, (p, st), None, length=STEPS)
+        return p, st, costs[-1]
+    return run
+
+def measure(run):
+    p, st, c = run(params, opt_state)
+    float(c)  # host readback: the honest clock (CLAUDE.md timing gotcha)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        p, st, c = run(p, st)
+    float(c)
+    return STEPS * reps / (time.perf_counter() - t0)
+
+legs = {}
+run_f32 = make_run("xla", None)
+legs["f32"] = measure(run_f32)
+# XLA's own FLOP count of ONE step (un-scanned single jit: loop-body flop
+# accounting differs across backends, a single program is unambiguous).
+try:
+    vg1 = jax.value_and_grad(lambda p, X_, y_: loss_fn(p, X_, y_)[0])
+    def one_step(p, st, X_, y_):
+        cost, g = vg1(p, X_, y_)
+        delta, st = tx.update(g, st, p)
+        return tree_add(p, delta), st, cost
+    ca = jax.jit(one_step).lower(params, opt_state, X, y).compile(
+        ).cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops_per_step = float(ca.get("flops", 0.0))
+except Exception:
+    flops_per_step = 0.0
+for name, impl, mm in (("bf16", "xla", jnp.bfloat16),
+                       ("pallas_phi", "pallas", None)):
+    try:
+        legs[name] = measure(make_run(impl, mm))
+    except Exception as e:
+        legs[name] = None
+print(json.dumps({"legs": legs, "flops_per_step": flops_per_step,
                   "backend": jax.default_backend()}))
 """
 
@@ -90,25 +123,39 @@ def _measure(mode: str, timeout_s: int):
 
 
 def main():
-    # TPU first (generous budget: remote compiles are variance-prone), then
-    # a labeled CPU fallback so the driver always gets a result line.
-    res = _measure("tpu", timeout_s=1500)
-    unit = "evals/s (N=8192, 2(S+M)=500, f32)"
+    res = _measure("tpu", timeout_s=2400)
+    cpu_fallback = False
     if res is None:
         res = _measure("cpu", timeout_s=900)
-        unit = "evals/s (CPU FALLBACK - TPU unresponsive; N=8192, 2(S+M)=500)"
+        cpu_fallback = True
     if res is None:
         print(json.dumps({"metric": "nlml_grad_evals_per_s_per_chip",
                           "value": 0.0,
                           "unit": "bench could not run (no backend)",
                           "vs_baseline": 0.0}))
         return
-    v = res["evals_per_s"]
+    legs = res["legs"]
+    v = legs["f32"]
+    ms_step = 1000.0 / v if v else 0.0
+    mfu = (res.get("flops_per_step", 0.0) * v / V5E_PEAK_FLOPS
+           if not cpu_fallback else 0.0)
+    extra = ", ".join(f"{k} {x:.0f}/s" for k, x in legs.items()
+                      if k != "f32" and x)
+    unit = (f"evals/s (N=8192, 2(S+M)=500, f32, {ms_step:.2f} ms/step"
+            + (f", MFU {mfu:.1%}" if mfu else "")
+            + (f"; {extra}" if extra else "") + ")")
+    if cpu_fallback:
+        unit = "evals/s (CPU FALLBACK - TPU unresponsive; " + unit[9:]
     print(json.dumps({
         "metric": "nlml_grad_evals_per_s_per_chip",
         "value": round(v, 2),
         "unit": unit,
         "vs_baseline": round(v / BASELINE_EVALS_PER_S, 1),
+        "ms_per_step": round(ms_step, 4),
+        "mfu": round(mfu, 4),
+        "flops_per_step": res.get("flops_per_step", 0.0),
+        "legs_evals_per_s": {k: (round(x, 1) if x else None)
+                             for k, x in legs.items()},
     }))
 
 

@@ -68,15 +68,34 @@ def timed(name, fn):
         c, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=STEPS)
         return c
 
-    c = run().block_until_ready()  # compile
+    # Roofline bound from XLA's OWN counts of the compiled program: the
+    # stage cannot run faster than max(flops/peak, bytes/HBM-bw).  On v5e:
+    # 197 TFLOP/s MXU, ~819 GB/s HBM.
+    flops = bytes_ = 0.0
+    try:
+        ca = run.lower().compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) / STEPS
+        bytes_ = float(ca.get("bytes accessed", 0.0)) / STEPS
+    except Exception:
+        pass
+    sol_ms = 1e3 * max(flops / 197e12, bytes_ / 819e9)
+
+    float(run())  # compile; readback = the honest clock (CLAUDE.md)
     t0 = time.perf_counter()
     reps = 5
+    c = 0.0
     for _ in range(reps):
         c = run()
-    c.block_until_ready()
+    float(c)
     dt = time.perf_counter() - t0
     ms = 1e3 * dt / (STEPS * reps)
-    print(json.dumps({"stage": name, "ms": round(ms, 4)}), flush=True)
+    rec = {"stage": name, "ms": round(ms, 4),
+           "gflops": round(flops / 1e9, 3), "mbytes": round(bytes_ / 1e6, 2),
+           "speed_of_light_ms": round(sol_ms, 4),
+           "sol_fraction": round(sol_ms / ms, 3) if ms else None,
+           "bound": ("mxu" if flops / 197e12 > bytes_ / 819e9 else "hbm")}
+    print(json.dumps(rec), flush=True)
     return ms
 
 

@@ -2,7 +2,8 @@ from .hmc import (hmc_sample, hmc_sample_host_looped, make_hmc_transition,
                   HMCResult)
 from .nuts import (nuts_sample, nuts_sample_host_looped, nuts_sample_static,
                    NUTSResult)
-from .vi import fit_vi, vi_sample, VIResult
+from .vi import (fit_vi, vi_sample, vi_posterior_sample, VIResult,
+                 VISamplerResult)
 from .predictive import make_logposterior, predictive_mixture
 from .tempering import (tempered_hmc_sample, geometric_ladder,
                         energy_matched_ladder,

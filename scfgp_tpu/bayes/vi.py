@@ -67,3 +67,38 @@ def vi_sample(result: VIResult, key: jax.Array, num_samples: int):
     eps = jax.random.normal(key, (num_samples, result.mu.shape[0]),
                             result.mu.dtype)
     return result.mu[None, :] + jnp.exp(result.log_sigma)[None, :] * eps
+
+
+class VISamplerResult(NamedTuple):
+    """fit_vi + vi_sample packaged in the chain-sampler result convention
+    (samples (num_samples, C, P)) so ``SCFGP.fit_bayes(sampler='vi')`` slots
+    in next to HMC/NUTS/tempered."""
+
+    samples: jax.Array       # (num_samples, C, P)
+    logdensities: jax.Array  # (num_samples, C) logpost at the draws
+    accept_rate: jax.Array   # () == 1.0 (independent reparameterized draws)
+    elbo: jax.Array          # () final ELBO
+    mu: jax.Array            # (P,) variational mean
+    log_sigma: jax.Array     # (P,) variational log std
+
+
+def vi_posterior_sample(logdensity_fn: Callable, init_positions: jax.Array,
+                        key: jax.Array, num_warmup: int = 500,
+                        num_samples: int = 500,
+                        learning_rate: float = 0.01,
+                        init_log_sigma: float = -3.0) -> VISamplerResult:
+    """Chain-convention VI: optimize the ELBO for ``num_warmup`` steps (the
+    warmup-budget analog), MC samples batched over the C chain inits, then
+    draw ``num_samples`` x C posterior samples."""
+    C, P = init_positions.shape
+    res = fit_vi(logdensity_fn, jnp.mean(init_positions, axis=0),
+                 key, num_steps=num_warmup, num_mc_samples=max(C, 2),
+                 learning_rate=learning_rate,
+                 init_log_sigma=init_log_sigma)
+    draws = vi_sample(res, jax.random.fold_in(key, 1),
+                      num_samples * C).reshape(num_samples, C, P)
+    lds = jax.vmap(jax.vmap(logdensity_fn))(draws)
+    return VISamplerResult(samples=draws, logdensities=lds,
+                           accept_rate=jnp.ones((), draws.dtype),
+                           elbo=res.elbo_history[-1],
+                           mu=res.mu, log_sigma=res.log_sigma)

@@ -183,6 +183,13 @@ def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
                     num_samples=num_samples, depth=depth,
                     init_step_size=init_step_size,
                     target_accept=target_accept)
+        elif sampler == "vi":
+            from ..bayes import vi_posterior_sample
+
+            def run_impl(q, k, X, y):
+                return vi_posterior_sample(
+                    make_lp(X, y), q, k, num_warmup=num_warmup,
+                    num_samples=num_samples)
         else:  # tempered: the ladder is data-dependent, so it is traced too
             def run_impl(q, k, X, y, betas):
                 return tempered_hmc_sample(
@@ -594,7 +601,10 @@ class SCFGP:
             static variant (``bayes/nuts.py::nuts_sample_static``),
           * ``"tempered"`` — replica-exchange HMC with an energy-matched
             ladder for the trig-multimodal posterior
-            (``bayes/tempering.py``; SURVEY.md §7.2).
+            (``bayes/tempering.py``; SURVEY.md §7.2),
+          * ``"vi"`` — mean-field Gaussian VI (``num_warmup`` = ELBO steps,
+            then ``num_samples x chains`` reparameterized draws;
+            ``bayes/vi.py``).
 
         Sampling runs in the phase-free reduced space (phases are pure
         gauge — see ``bayes/predictive.py::make_logposterior``).
@@ -612,9 +622,9 @@ class SCFGP:
 
         self.set_data(X, y)
         self._bayes_streaming_block = int(streaming_block)
-        if sampler not in ("hmc", "nuts", "tempered"):
+        if sampler not in ("hmc", "nuts", "tempered", "vi"):
             raise ValueError(
-                f"unknown sampler '{sampler}' (hmc|nuts|tempered)")
+                f"unknown sampler '{sampler}' (hmc|nuts|tempered|vi)")
         P = reduced_dim(self.D, self.S, self.M)
         keys = jax.random.split(
             jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1)), chains)

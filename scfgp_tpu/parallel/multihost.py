@@ -32,10 +32,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
     environment; pass them explicitly for other clusters.  Returns a summary
     dict (process index/count, local/global device counts).
     """
-    try:
-        already = jax.process_count() > 1
-    except RuntimeError:
-        already = False
+    # Probe WITHOUT touching the backend: jax.process_count() would
+    # initialize XLA, after which jax.distributed.initialize() refuses to
+    # run (found by tests/test_multihost.py — the round-1 version of this
+    # check made the join a silent no-op on every real cluster).
+    already = jax.distributed.is_initialized()
     if not already and (coordinator_address is not None
                        or _looks_like_pod()):
         try:

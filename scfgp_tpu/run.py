@@ -56,7 +56,7 @@ def main(argv=None):
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--fused", action="store_true",
                     help="device-fused training loop (fit_fast)")
-    ap.add_argument("--bayes", choices=["hmc", "nuts", "tempered"],
+    ap.add_argument("--bayes", choices=["hmc", "nuts", "tempered", "vi"],
                     default=None,
                     help="sample the hyperparameter posterior instead of "
                          "MAP training; metrics use the posterior-"

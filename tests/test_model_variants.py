@@ -116,6 +116,23 @@ def test_fit_bayes_hmc_and_predict_bayes():
         np.testing.assert_allclose(mu2, mu, rtol=1e-4, atol=1e-5)
 
 
+def test_fit_bayes_vi_and_predict():
+    """Model-level VI: ELBO-optimized mean-field posterior, draws on
+    self.thetas, predictive mixture beats a constant predictor."""
+    rng = np.random.RandomState(3)
+    X = rng.rand(150, 2) * 4
+    y = np.sin(X[:, 0] * 2) + 0.5 * X[:, 1] + 0.1 * rng.randn(150)
+    Xt, yt, Xv, yv = X[:120], y[:120], X[120:], y[120:]
+    m = SCFGP(sparsity=2, nfeats=6, seed=0)
+    m.fit_bayes(Xt, yt, Xv, yv, sampler="vi", chains=4, num_warmup=300,
+                num_samples=50)
+    assert m.thetas is not None and np.isfinite(np.asarray(m.thetas)).all()
+    mu, std = m.predict_bayes(Xv, yv)
+    rmse = float(np.sqrt(np.mean((mu.ravel() - yv) ** 2)))
+    assert rmse < 0.6 * np.std(yv), rmse
+    assert np.isfinite(float(m.bayes_result.elbo))
+
+
 def test_fit_bayes_tempered_smoke():
     """Tempered path through the model API builds an energy-matched ladder
     and returns finite draws with a measurable swap rate field."""
