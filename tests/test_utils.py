@@ -174,3 +174,30 @@ def test_run_cli_fused_and_config(tmp_path):
     }))
     res2 = main(["--config", str(cfg)])
     assert np.isfinite(res2["metrics"]["RMSE"])
+
+
+def test_run_cli_bayes_bool_config_and_key_validation(tmp_path):
+    """'bayes': true (boolean opt-in) must work; unknown bayes keys must
+    fail with a clear SystemExit (round-1 ADVICE item 5)."""
+    import json
+    import pytest
+    from scfgp_tpu.run import main
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "dataset": "co2",
+        "model": {"sparsity": 2, "nfeats": 4, "seed": 0},
+        "bayes": True,
+    }))
+    res = main(["--config", str(cfg), "--chains", "2", "--samples", "10",
+                "--warmup", "20"])
+    assert res["bayes"]["draws"] > 0
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "dataset": "co2",
+        "model": {"sparsity": 2, "nfeats": 4},
+        "bayes": {"sampler": "hmc", "not_a_knob": 1},
+    }))
+    with pytest.raises(SystemExit, match="not_a_knob"):
+        main(["--config", str(bad)])
