@@ -94,3 +94,24 @@ def test_fused_runner_cached_across_models():
     run = next(iter(_FUSED_RUNNERS.values()))
     if hasattr(run, "_cache_size"):
         assert run._cache_size() == 1  # one trace, two fits
+
+
+def test_validated_fused_runner_reused_across_models():
+    """Round-1 weakness: obj='SCORE' fused fits re-jitted per model because
+    scaler constants were baked in.  Now the runner is cached by static
+    config with data + scaler state traced, so a second same-shape model
+    (fresh split, fresh scalers) must hit the same compiled program."""
+    import numpy as np
+    from scfgp_tpu import SCFGP
+    from scfgp_tpu.models import model as model_mod
+    from scfgp_tpu.data.datasets import load_boston
+
+    model_mod._FUSED_RUNNERS.clear()
+    for seed in (0, 1):
+        Xt, yt, Xv, yv, _ = load_boston(seed=seed)
+        m = SCFGP(sparsity=4, nfeats=6, seed=seed)
+        m.fit_fast(Xt, yt, Xv, yv, obj="SCORE", max_iter=25)
+    vals = [v for k, v in model_mod._FUSED_RUNNERS.items() if k[0] == "val"]
+    assert len(vals) == 1
+    # one traced/compiled specialization total, shared by both models
+    assert vals[0]._cache_size() == 1
