@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--trials", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sparsity", type=int, default=-1,
+                    help="-1 = reference full-rank protocol (kin8nm.py:53);"
+                         " 20 measured stronger on the surrogate"
+                         " (docs/RESULTS.md); writes results/kin8nm_s<S>")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -41,11 +45,13 @@ def main():
         "max_cvrg": 8,
         "obj": "SCORE",
     }
+    sub = "kin8nm" if args.sparsity == -1 else f"kin8nm_s{args.sparsity}"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results", "kin8nm")
+                       "results", sub)
     # sparsity=-1 (full rank) matches the reference's legacy-API protocol
     # SCFGP(-1, feature_size) (kin8nm.py:53).
-    summary = run_sweep("kin8nm", load_kin8nm, nfeats, sparsity=-1,
+    summary = run_sweep("kin8nm", load_kin8nm, nfeats,
+                        sparsity=args.sparsity,
                         trials=trials, opt_params=opt_params, out_dir=out)
     print("RMSE means:", summary["metrics"]["RMSE"]["mean"])
     print("MNLP means:", summary["metrics"]["MNLP"]["mean"])

@@ -68,15 +68,19 @@ def timed(name, fn):
         c, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=STEPS)
         return c
 
-    # Roofline bound from XLA's OWN counts of the compiled program: the
-    # stage cannot run faster than max(flops/peak, bytes/HBM-bw).  On v5e:
-    # 197 TFLOP/s MXU, ~819 GB/s HBM.
+    # Roofline bound from XLA's OWN counts: the stage cannot run faster
+    # than max(flops/peak, bytes/HBM-bw).  On v5e: 197 TFLOP/s MXU,
+    # ~819 GB/s HBM.  Counted on an UNSCANNED single application — loop-body
+    # flop accounting differs across backends (TPU counts the while body
+    # once; dividing a scanned program by trip count is wrong there).
+    # Caveat: transcendentals (cos/sin) are not in XLA's flop count, so the
+    # phi stage's real bound is VPU transcendental throughput, not HBM.
     flops = bytes_ = 0.0
     try:
-        ca = run.lower().compile().cost_analysis()
+        ca = jax.jit(fn).lower(jnp.float32(0.0)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", 0.0)) / STEPS
-        bytes_ = float(ca.get("bytes accessed", 0.0)) / STEPS
+        flops = float(ca.get("flops", 0.0))
+        bytes_ = float(ca.get("bytes accessed", 0.0))
     except Exception:
         pass
     sol_ms = 1e3 * max(flops / 197e12, bytes_ / 819e9)
