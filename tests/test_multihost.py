@@ -48,3 +48,4 @@ def test_two_process_group_psum():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid} psum-over-DCN ok: 18.0" in out, out
+        assert f"worker {pid} dp-step-over-DCN exact" in out, out
