@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--target-gap", type=float, default=1.5)
     ap.add_argument("--beta-min", type=float, default=0.2)
     ap.add_argument("--max-rungs", type=int, default=48)
+    ap.add_argument("--sparsity", type=int, default=20,
+                    help="S (smaller -> cheaper posterior for CPU runs)")
+    ap.add_argument("--nfeats", type=int, default=50)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -52,7 +55,7 @@ def main():
     from scfgp_tpu.data.datasets import synthetic_gp_rff
     from scfgp_tpu.models.params import init_params, pack_params
 
-    D, S, M = 8, 20, 50
+    D, S, M = 8, args.sparsity, args.nfeats
     X, y = synthetic_gp_rff(n=args.n, d=D, s=S, m=M, noise_std=0.1, seed=0,
                             dtype=np.float32)
     Xt, yt = jnp.asarray(X), jnp.asarray(y)

@@ -58,17 +58,21 @@ _FUSED_RUNNERS: dict = {}
 
 
 def _fused_runner(algo_name, algo_params_items, max_iter, cvrg_tol,
-                  max_cvrg, basis_fn, mm_dtype):
+                  max_cvrg, basis_fn, mm_dtype, has_w=False):
+    """``has_w=True`` threads per-row weights through the loss — the
+    zero-weight-padding invariant that makes mesh-sharded training exactly
+    equal to full batch (fit_fast(mesh=...) pads rows to the shard count)."""
     key = (algo_name, algo_params_items, max_iter, float(cvrg_tol),
-           int(max_cvrg), basis_fn, mm_dtype)
+           int(max_cvrg), basis_fn, mm_dtype, bool(has_w))
     run = _FUSED_RUNNERS.get(key)
     if run is None:
         from ..opt.fused_loop import fused_optimize
 
-        def run_impl(p, rng_key, X, y):
+        def run_impl(p, rng_key, X, y, w=None):
             vg = jax.value_and_grad(
                 lambda q: (lambda c, a: (c, a.post))(
-                    *loss_fn(q, X, y, basis_fn=basis_fn, mm_dtype=mm_dtype)),
+                    *loss_fn(q, X, y, w=w, basis_fn=basis_fn,
+                             mm_dtype=mm_dtype)),
                 has_aux=True)
             tx = make_optimizer(algo_name,
                                 dict(algo_params_items) or None)
@@ -97,10 +101,11 @@ def _fused_runner_val(algo_name, algo_params_items, max_iter, cvrg_tol,
         from ..data.scaler import backward_transform_stateless
         from .objective import predict_f as _predict_f
 
-        def run_impl(p, rng_key, X, y, Xv_t, ys, y_state):
+        def run_impl(p, rng_key, X, y, Xv_t, ys, y_state, w=None):
             vg = jax.value_and_grad(
                 lambda q: (lambda c, a: (c, a.post))(
-                    *loss_fn(q, X, y, basis_fn=basis_fn, mm_dtype=mm_dtype)),
+                    *loss_fn(q, X, y, w=w, basis_fn=basis_fn,
+                             mm_dtype=mm_dtype)),
                 has_aux=True)
             sdict = dict(zip(y_state_keys, y_state))
 
@@ -531,6 +536,18 @@ class SCFGP:
 
         key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
         params_items_ = tuple(sorted((algo.get("algo_params") or {}).items()))
+        # mesh=...: multi-chip data-parallel training through the SAME
+        # cached fused program — rows padded to the shard count with zero
+        # weights (exactness invariant, parallel/mesh.py) and device_put
+        # with a row sharding; GSPMD partitions the Gram/ENLL row sums and
+        # inserts the psums.  Params/posterior come back replicated.
+        mesh = args.get("mesh")
+        X_in, y_in, w_in = self.X, self.y, None
+        if mesh is not None:
+            from ..parallel.mesh import replicated, shard_rows
+            X_in, y_in, w_in = shard_rows(mesh, np.asarray(self.X),
+                                          np.asarray(self.y))
+            self.params = jax.device_put(self.params, replicated(mesh))
         if Xv is not None and yv is not None and obj != "COST":
             # Validation objective: validation data + y-scaler state are
             # traced args of a cached runner (_fused_runner_val), so sweep
@@ -549,15 +566,15 @@ class SCFGP:
             y_state = tuple(jnp.asarray(self.y_scaler.state[k], self.dtype)
                             for k in y_state_keys)
             t0 = time.time()
-            res = jax.block_until_ready(run(self.params, key, self.X,
-                                            self.y, Xv_t, ys, y_state))
+            res = jax.block_until_ready(run(self.params, key, X_in, y_in,
+                                            Xv_t, ys, y_state, w_in))
         else:
             run = _fused_runner(algo["algo"], params_items_, max_iter,
                                 cvrg_tol, max_cvrg, self.extra_basis,
-                                self.mm_dtype)
+                                self.mm_dtype, has_w=w_in is not None)
             t0 = time.time()
             res = jax.block_until_ready(run(self.params, key,
-                                            self.X, self.y))
+                                            X_in, y_in, w_in))
         wall = time.time() - t0
         self.params = res.params
         self.post = res.post

@@ -94,3 +94,30 @@ def _one_step(tx, p, s, X, y):
 
 def test_mesh_shapes(mesh):
     assert mesh.shape == {"data": 8}
+
+
+def test_model_level_mesh_training_matches_single_device():
+    """fit_fast(mesh=...) — model-level multi-chip DP — must reproduce the
+    single-device fused fit: same compiled program, rows sharded over the
+    8-device mesh with zero-weight padding, GSPMD-inserted psums."""
+    import numpy as np
+    from scfgp_tpu import SCFGP
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.parallel.mesh import make_mesh
+
+    X, y = synthetic_gp_rff(n=220, d=3, s=3, m=8, noise_std=0.1, seed=0)
+    Xt, yt, Xv, yv = X[:180], y[:180], X[180:], y[180:]
+
+    a = SCFGP(sparsity=3, nfeats=8, seed=5)
+    a.fit_fast(Xt, yt, Xv, yv, max_iter=40)
+    b = SCFGP(sparsity=3, nfeats=8, seed=5)
+    b.fit_fast(Xt, yt, Xv, yv, max_iter=40, mesh=make_mesh())
+
+    # Same math; the psum reduction order differs from the single-device
+    # row sum, and 40 adam steps amplify the f64 rounding delta — tolerance
+    # covers order-of-summation noise, not model drift.
+    for pa, pb in zip(a.params, b.params):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-5, atol=1e-7)
+    assert np.allclose(a.evals["NMSE"][1][-1], b.evals["NMSE"][1][-1],
+                       rtol=1e-4)
