@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--sparsity", type=int, default=20,
                     help="S (smaller -> cheaper posterior for CPU runs)")
     ap.add_argument("--nfeats", type=int, default=50)
+    ap.add_argument("--ladder-source", choices=["within", "pooled"],
+                    default="pooled",
+                    help="energy scale for rung spacing: within-chain std "
+                         "(unimodal fluctuation) or pooled std (includes "
+                         "the cross-basin offsets that dominate swap "
+                         "exponents on this trig-multimodal posterior)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -72,21 +78,29 @@ def main():
     # 1. plain-HMC warmup to the typical set (same fused program family as
     #    bench_hmc — known to compile on the remote service)
     pre = jax.jit(lambda q, k: hmc_sample(
-        logpost, q, k, num_warmup=args.pre_warmup, num_samples=8,
+        logpost, q, k, num_warmup=args.pre_warmup, num_samples=16,
         num_integration_steps=16, init_step_size=0.003))
     t0 = time.time()
     res = pre(init, jax.random.PRNGKey(1))
-    warm = np.asarray(res.samples[-1])  # (C, P) — host readback
+    warm_draws = np.asarray(res.samples)    # (16, C, P) — host readback
+    warm = warm_draws[-1]                   # (C, P) tempered-run inits
     print(json.dumps({"pre_warmup_s": round(time.time() - t0, 1),
                       "accept": round(float(res.accept_rate), 3)}),
           flush=True)
 
-    # 2. ladder from the measured energy scale
+    # 2. ladder from the measured WITHIN-CHAIN energy scale (the pooled
+    # std is inflated by O(100) cross-basin energy offsets and forces
+    # uselessly many rungs — see energy_matched_ladder docstring)
+    ladder_pos = (jnp.asarray(warm_draws) if args.ladder_source == "within"
+                  else jnp.asarray(warm_draws.reshape(-1, warm.shape[-1])))
     betas = energy_matched_ladder(
-        logpost, jnp.asarray(warm), beta_min=args.beta_min,
+        logpost, ladder_pos, beta_min=args.beta_min,
         target_gap=args.target_gap, max_rungs=args.max_rungs)
-    lds = np.asarray(jax.vmap(logpost)(jnp.asarray(warm)), np.float64)
-    print(json.dumps({"std_E": round(float(np.std(lds)), 2),
+    lds = np.asarray(jax.vmap(logpost)(
+        jnp.asarray(warm_draws.reshape(-1, P))), np.float64).reshape(16, -1)
+    print(json.dumps({"std_E_within": round(float(
+                          np.median(np.std(lds, axis=0))), 2),
+                      "std_E_pooled": round(float(np.std(lds)), 2),
                       "rungs": int(betas.shape[0]),
                       "dbeta": round(float(betas[0] - betas[1]), 5)}),
           flush=True)
@@ -111,7 +125,8 @@ def main():
         "chains": args.chains,
         "dim": P,
         "n": args.n,
-        "std_E": round(float(np.std(lds)), 2),
+        "std_E_within": round(float(np.median(np.std(lds, axis=0))), 2),
+        "std_E_pooled": round(float(np.std(lds)), 2),
         "target_gap": args.target_gap,
         "swap_rate": round(swap, 4),
         "accept_rate": round(accept, 3),

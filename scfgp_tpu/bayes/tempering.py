@@ -69,19 +69,30 @@ def energy_matched_ladder(logdensity_fn: Callable, positions: jax.Array,
     """Ladder spaced by the MEASURED energy scale so swaps actually accept.
 
     Swap acceptance between adjacent rungs is ~exp(-dbeta * dE); with
-    ``std_E = std(logpost over the supplied positions)`` (use draws from a
-    short plain-HMC warmup, or perturbed inits), spacing
+    ``std_E`` the WITHIN-CHAIN energy fluctuation, spacing
     ``dbeta = target_gap / std_E`` puts the expected exponent near
     ``target_gap`` — the linear analog of the Kone-Kofke constant-
     acceptance prescription.  Returns a LINEAR ladder
     ``1, 1-d, 1-2d, ..., >= beta_min`` capped at ``max_rungs`` (rungs are
     cheap on TPU: every rung batches through the same MXU matmuls).
 
+    ``positions``: (num, P) pooled draws, or — better — (T, C, P) warmup
+    draws per chain: with trig-multimodal posteriors the chains settle in
+    basins whose energies differ by O(100), so the POOLED std wildly
+    overestimates the fluctuation scale that actually governs adjacent-rung
+    swaps; the (T, C, P) form uses the median per-chain std instead.
+
     Host-side helper (concrete float ladder; call outside jit).
     """
     import numpy as np
-    lds = np.asarray(jax.vmap(logdensity_fn)(positions), np.float64)
-    std_e = float(np.std(lds))
+    if positions.ndim == 3:
+        T_, C_, P_ = positions.shape
+        lds = np.asarray(jax.vmap(logdensity_fn)(
+            positions.reshape(T_ * C_, P_)), np.float64).reshape(T_, C_)
+        std_e = float(np.median(np.std(lds, axis=0)))
+    else:
+        lds = np.asarray(jax.vmap(logdensity_fn)(positions), np.float64)
+        std_e = float(np.std(lds))
     if not np.isfinite(std_e) or std_e < 1e-12:
         return geometric_ladder(4, beta_min, positions.dtype)
     d = max(target_gap / std_e, (1.0 - beta_min) / (max_rungs - 1))

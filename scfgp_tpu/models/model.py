@@ -677,7 +677,7 @@ class SCFGP:
                 self.X, self.y, self.D, self.S, self.M,
                 streaming_block=streaming_block, basis_fn=self.extra_basis)
             betas = energy_matched_ladder(
-                logpost_host, wdraws.reshape(-1, P), max_rungs=max_rungs)
+                logpost_host, wdraws, max_rungs=max_rungs)
             init = wdraws[-1]  # warmed chains seed the cold rung
 
         run = _bayes_runner(sampler, **cfg)
