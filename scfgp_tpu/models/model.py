@@ -665,9 +665,11 @@ class SCFGP:
         if sampler == "tempered" and betas is None:
             # Ladder spacing needs std(E) in the TYPICAL SET, not at random
             # inits (which sit far out in the tails): run a short plain-HMC
-            # warmup, then measure the energy scale on its draws
-            # (tempering.energy_matched_ladder docstring; the TPU probe
-            # script does the same).
+            # warmup, then measure the energy scale on its draws.  POOLED
+            # std with target_gap 0.75 is the measured recipe on the real
+            # posterior — swap_rate 0.575 at N=2048 (within-chain spacing
+            # measured 0.025 there: cross-basin energy offsets dominate the
+            # swap exponents; experiments/results/hmc/tempering_probe.json).
             warm = _bayes_runner("hmc", **{
                 **cfg, "num_warmup": max(min(num_warmup, 100), 10),
                 "num_samples": 8})
@@ -677,7 +679,8 @@ class SCFGP:
                 self.X, self.y, self.D, self.S, self.M,
                 streaming_block=streaming_block, basis_fn=self.extra_basis)
             betas = energy_matched_ladder(
-                logpost_host, wdraws, max_rungs=max_rungs)
+                logpost_host, wdraws.reshape(-1, P), target_gap=0.75,
+                max_rungs=max_rungs)
             init = wdraws[-1]  # warmed chains seed the cold rung
 
         run = _bayes_runner(sampler, **cfg)
