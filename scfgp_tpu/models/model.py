@@ -253,6 +253,7 @@ class SCFGP:
         self.thetas = None        # posterior draws from fit_bayes
         self.bayes_result = None  # sampler diagnostics from fit_bayes
         self._train_state = None  # resume state (optimize docstring)
+        self._stats = None        # update_data sufficient-stats cache
         self.N = self.D = -1
         self.X = self.y = None
         self.min_obj_ind = 0
@@ -292,6 +293,7 @@ class SCFGP:
             self.y_scaler.forward_transform(np.asarray(y).reshape(-1, 1)),
             self.dtype).reshape(-1)
         self.message("done.")
+        self._stats = None  # update_data cache: params/data changed
         self.N, self.D = self.X.shape
         from .params import resolve_sparsity
         self.S = resolve_sparsity(self.S, self.D, self.M)
@@ -486,6 +488,7 @@ class SCFGP:
                 last_ckpt_iter = it
 
         self.params = argmin_params
+        self._stats = None  # params changed: update_data cache is stale
         cost, aux = eval_fn(self.params, self.X, self.y)
         self.post = aux.post
         self.evals["COST"][1].append(float(cost))
@@ -577,6 +580,7 @@ class SCFGP:
                                             X_in, y_in, w_in))
         wall = time.time() - t0
         self.params = res.params
+        self._stats = None  # params changed: update_data cache is stale
         self.post = res.post
         n = int(res.num_iters)
         self.evals["COST"][1] = [float(v) for v in
@@ -701,6 +705,42 @@ class SCFGP:
         if Xv is not None and yv is not None:
             self.predict_bayes(Xv, yv)
             self.min_obj_ind = -1
+        return self
+
+    def update_data(self, Xnew, ynew):
+        """Online conditioning: fold new rows into the posterior WITHOUT
+        retraining hyperparameters.
+
+        Every data-dependent quantity of the posterior is an additive
+        sufficient statistic (ΦᵀΦ, Φᵀy, yᵀy, N — SURVEY.md §5 long-context;
+        ``reference: SCFGP/SCFGP.py:104,108,126``), so conditioning on new
+        observations is a rank-k statistics update plus one 2K×2K re-solve —
+        O(k·K² + K³) instead of a full refit.  Scalers and hyperparameters
+        stay FIXED (they were fit/trained on the original data); call
+        ``optimize(resume=True)`` afterwards to also refit hyperparameters
+        on the grown dataset.  The reference has no online path (its nearest
+        analog is full retraining); this is TPU-native serving-time
+        functionality built on the same invariant that makes DP exact.
+        """
+        from .objective import solve_posterior, sufficient_stats
+        if self.params is None or self.X is None:
+            raise RuntimeError("update_data() before fit: train first "
+                               "(hyperparameters and scalers must exist)")
+        Xn = jnp.asarray(self.X_scaler.forward_transform(Xnew), self.dtype)
+        yn = jnp.asarray(
+            self.y_scaler.forward_transform(
+                np.asarray(ynew).reshape(-1, 1)), self.dtype).reshape(-1)
+        if getattr(self, "_stats", None) is None:
+            self._stats = _jitted_stats(self.params, self.X, self.y,
+                                        basis_fn=self.extra_basis)
+        new = _jitted_stats(self.params, Xn, yn, basis_fn=self.extra_basis)
+        self._stats = jax.tree.map(jnp.add, self._stats, new)
+        sig2_n = jnp.exp(2.0 * self.params.a)
+        self.post = solve_posterior(self._stats, sig2_n,
+                                    mm_dtype=self.mm_dtype)
+        self.X = jnp.concatenate([self.X, Xn], axis=0)
+        self.y = jnp.concatenate([self.y, yn])
+        self.N = int(self.X.shape[0])
         return self
 
     def _minibatches(self, batchsize, shuffle=True):
@@ -835,6 +875,7 @@ class SCFGP:
         self.N, self.D = state["N"], state["D"]
         self.X_scaler = Scaler.from_state_dict(state["X_scaler"])
         self.y_scaler = Scaler.from_state_dict(state["y_scaler"])
+        self._stats = None
         if state["params"] is not None:
             self.params = jax.tree.map(
                 lambda t: jnp.asarray(t, self.dtype),
@@ -888,3 +929,14 @@ class SCFGP:
 
 _jitted_loss = jax.jit(loss_fn, static_argnames=("basis_fn", "mm_dtype"))
 _jitted_predict = jax.jit(predict_f, static_argnames=("basis_fn",))
+
+
+def _stats_impl(p, X, y, basis_fn=None):
+    from .objective import fourier_features, sufficient_stats
+    Phi = fourier_features(p, X)
+    if basis_fn is not None:
+        Phi = jnp.concatenate([Phi, basis_fn(X).astype(Phi.dtype)], axis=1)
+    return sufficient_stats(Phi, y)
+
+
+_jitted_stats = jax.jit(_stats_impl, static_argnames=("basis_fn",))
