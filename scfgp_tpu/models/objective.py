@@ -92,6 +92,11 @@ def fourier_features(p: SCFGPParams, X: jax.Array,
     ``impl='pallas'`` selects the fused TPU kernel
     (``scfgp_tpu.ops.phi.fourier_features_pallas``): projection stays in VMEM,
     cos/sin written directly to the output block, custom VJP for the params.
+
+    (A bf16-stored-Phi variant was probed on chip and measured speed-NEUTRAL
+    — 1708.8 vs 1705.1 evals/s at the bench config — because XLA's fusion
+    already elides the Phi traffic the cast would have halved; not shipped.
+    docs/DESIGN.md roofline.)
     """
     d = derive_frequencies(p)
     scale = jnp.exp(p.b) * jnp.sqrt(2.0 / p.M)
@@ -147,7 +152,10 @@ def _gemm(a: jax.Array, b: jax.Array, mm_dtype=None) -> jax.Array:
     accuracy impact documented in docs/DESIGN.md).
     """
     if mm_dtype is None:
-        return jnp.dot(a, b, preferred_element_type=a.dtype)
+        # Sub-f32 inputs (phi_dtype=bf16 features) still accumulate — and
+        # return — f32: the Gram feeds a Cholesky.
+        acc = a.dtype if jnp.finfo(a.dtype).bits >= 32 else jnp.float32
+        return jnp.dot(a, b, preferred_element_type=acc)
     return _rp_dot(mm_dtype, a, b)
 
 
