@@ -80,6 +80,36 @@ def test_co2_surrogate_1d():
     assert nmse < 0.05, nmse  # random split => interpolation; trend dominates
 
 
+def test_co2_composite_reaches_floor():
+    """Composite (known annual period seasonal + quadratic trend) CO2 model
+    must sit AT the measured Bayes floor (ratio 1.00 measured; plain RFF
+    plateaus ~65x above it — the seasonal mode is unreachable by gradient
+    descent from scratch, which is exactly what extra_basis is for)."""
+    import jax.numpy as jnp
+
+    Xt, yt, Xv, yv, meta = load_co2(seed=0)
+    floor = surrogate_floor("co2", Xv, yv)
+    omega = 2 * np.pi * 525.0 / 12.0  # monthly cadence, annual cycle
+
+    def seasonal_trend(Xs):
+        t = Xs[:, :1]
+        return jnp.concatenate(
+            [jnp.ones_like(t), t, t * t,
+             jnp.sin(omega * t), jnp.cos(omega * t),
+             jnp.sin(2 * omega * t), jnp.cos(2 * omega * t)], axis=1)
+
+    m = SCFGP(sparsity=10, nfeats=20, seed=0, X_scaling_method="min-max",
+              y_scaling_method="normal", extra_basis=seasonal_trend,
+              dtype=jnp.float32)
+    m.fit_fast(Xt, yt, Xv, yv, obj="cost", max_iter=800,
+               algo={"algo": "adamax",
+                     "algo_params": {"learning_rate": 0.05, "beta1": 0.8,
+                                     "beta2": 0.999, "epsilon": 1e-8}},
+               max_cvrg=40)
+    nmse = m.evals["NMSE"][1][m.min_obj_ind]
+    assert nmse < 1.2 * floor["NMSE"], (nmse, floor["NMSE"])
+
+
 def test_dataset_loaders_shapes():
     from scfgp_tpu.data.datasets import load_abalone, load_kin8nm
     Xt, yt, Xv, yv, meta = load_boston(seed=1)
