@@ -145,4 +145,8 @@ def test_fit_bayes_tempered_smoke():
     m.fit_bayes(X, y, sampler="tempered", chains=2, num_warmup=40,
                 num_samples=25, num_integration_steps=6, max_rungs=8)
     assert np.isfinite(np.asarray(m.thetas)).all()
-    assert 0.0 <= float(m.bayes_result.swap_rate) <= 1.0
+    # The auto-built pooled-std ladder must actually EXCHANGE (measured
+    # 0.65 here; the round-1 coarse default measured 0.0) — this is the
+    # regression gate on the mixing recipe, not just a range check.
+    assert float(m.bayes_result.swap_rate) > 0.1, \
+        float(m.bayes_result.swap_rate)
