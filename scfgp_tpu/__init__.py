@@ -15,7 +15,7 @@ from .models.objective import (SufficientStats, Posterior, fourier_features,
                                sufficient_stats, solve_posterior, loss_fn,
                                loss_and_grad, predict_f)
 from .data.scaler import Scaler
-from .models.model import SCFGP
+from .models.model import SCFGP, fit_fast_batch
 from .utils.visualizer import Visualizer
 from .bayes import (hmc_sample, nuts_sample, fit_vi, vi_sample,
                     make_logposterior, predictive_mixture)
@@ -23,7 +23,7 @@ from .bayes import (hmc_sample, nuts_sample, fit_vi, vi_sample,
 __version__ = "0.1.0"
 
 __all__ = [
-    "SCFGP", "Scaler", "Visualizer",
+    "SCFGP", "fit_fast_batch", "Scaler", "Visualizer",
     "SCFGPParams", "init_params", "pack_params", "unpack_params", "num_params",
     "SufficientStats", "Posterior", "fourier_features", "sufficient_stats",
     "solve_posterior", "loss_fn", "loss_and_grad", "predict_f",

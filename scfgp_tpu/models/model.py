@@ -148,6 +148,120 @@ def _fused_runner_val(algo_name, algo_params_items, max_iter, cvrg_tol,
     return run
 
 
+def _batched(runner):
+    """vmap a cached fused runner over a leading trial axis.
+
+    Jitted and cached per base runner: one compiled program trains B
+    same-shape models at once — trials batch through the MXU together
+    (batched Phi GEMMs, batched Cholesky), which is where sweep throughput
+    comes from on TPU (each boston-sized trial alone is dispatch/latency
+    bound, nowhere near the chip's roofline).  The vmapped while_loop runs
+    until every trial stops and masks finished trials' carries, so per-trial
+    early-stopping semantics are preserved exactly."""
+    key = ("batch", runner)
+    run = _FUSED_RUNNERS.get(key)
+    if run is None:
+        inner = runner.__wrapped__  # jit exposes the traced fn
+        run = jax.jit(jax.vmap(lambda *a: inner(*a)))
+        _FUSED_RUNNERS[key] = run
+    return run
+
+
+def fit_fast_batch(models, datasets, **opt_params):
+    """Train B same-shape models in ONE vmapped fused-loop program.
+
+    ``models``: SCFGP instances sharing (S, M, extra_basis, mm_dtype, dtype);
+    ``datasets``: matching list of ``(X, y)`` or ``(X, y, Xv, yv)`` tuples of
+    identical shapes (the reference's sweep shape: fresh random split per
+    trial, ``reference: experiments/boston_housing/boston_housing.py:80``).
+
+    Host work (scaler fits, param init) stays per-model; the entire training
+    loop — B independent early-stopped trajectories — runs as one compiled
+    program.  Semantics per trial match ``fit_fast`` (same RNG draw order,
+    same runner math); trials are only batched, never coupled.  Returns the
+    models, each with params/posterior/metrics filled in.
+    """
+    if len(models) != len(datasets):
+        raise ValueError("models and datasets must have equal length")
+    if not models:
+        return models
+    has_val = len(datasets[0]) == 4
+    for m, d in zip(models, datasets):
+        m.set_data(d[0], d[1])
+    cfg = (models[0].S, models[0].M, models[0].N, models[0].D,
+           models[0].extra_basis, models[0].mm_dtype, models[0].dtype)
+    for m in models[1:]:
+        if (m.S, m.M, m.N, m.D, m.extra_basis, m.mm_dtype, m.dtype) != cfg:
+            raise ValueError(
+                "fit_fast_batch requires identical (S, M, N, D, extra_basis,"
+                " mm_dtype, dtype) across models; got a mismatch")
+
+    obj = opt_params.get("obj", "COST").upper()
+    obj = obj if obj in models[0].evals else "COST"
+    algo = opt_params.get("algo") or dict(DEFAULT_OPT)
+    if not isinstance(algo, dict) or algo.get("algo") is None:
+        algo = dict(DEFAULT_OPT)
+    cvrg_tol = opt_params.get("cvrg_tol", 1e-4)
+    max_cvrg = opt_params.get("max_cvrg", 18)
+    max_iter = opt_params.get("max_iter", 500)
+    params_items_ = tuple(sorted((algo.get("algo_params") or {}).items()))
+
+    for m in models:
+        for metric in m.evals:
+            m.evals[metric][1] = []
+    # Same RNG draw as optimize_fused so batched == sequential per trial.
+    keys = jnp.stack([jax.random.PRNGKey(m._rng.randint(0, 2**31 - 1))
+                      for m in models])
+    stack = lambda leaves: jax.tree.map(lambda *ls: jnp.stack(ls), *leaves)
+    params_b = stack([m.params for m in models])
+    X_b = jnp.stack([m.X for m in models])
+    y_b = jnp.stack([m.y for m in models])
+
+    t0 = time.time()
+    if has_val and obj != "COST":
+        y_state_keys = tuple(sorted(models[0].y_scaler.state.keys()))
+        base = _fused_runner_val(algo["algo"], params_items_, max_iter,
+                                 cvrg_tol, max_cvrg, models[0].extra_basis,
+                                 models[0].mm_dtype, obj,
+                                 models[0].y_scaler.algo,
+                                 models[0].y_scaler.compat_reference,
+                                 y_state_keys)
+        Xv_b = jnp.stack([
+            jnp.asarray(m.X_scaler.forward_transform(d[2]), m.dtype)
+            for m, d in zip(models, datasets)])
+        ys_b = jnp.stack([
+            jnp.asarray(np.asarray(d[3]).reshape(-1), m.dtype)
+            for m, d in zip(models, datasets)])
+        ystate_b = tuple(
+            jnp.stack([jnp.asarray(m.y_scaler.state[k], m.dtype)
+                       for m in models]) for k in y_state_keys)
+        res = jax.block_until_ready(_batched(base)(
+            params_b, keys, X_b, y_b, Xv_b, ys_b, ystate_b))
+    else:
+        base = _fused_runner(algo["algo"], params_items_, max_iter,
+                             cvrg_tol, max_cvrg, models[0].extra_basis,
+                             models[0].mm_dtype)
+        res = jax.block_until_ready(_batched(base)(params_b, keys, X_b, y_b))
+    wall = time.time() - t0
+
+    for i, (m, d) in enumerate(zip(models, datasets)):
+        r = jax.tree.map(lambda a: a[i], res)
+        m.params = r.params
+        m.post = r.post
+        m._stats = None
+        n = int(r.num_iters)
+        m.evals["COST"][1] = [float(v) for v in
+                              np.asarray(r.cost_history)[:n]]
+        m.evals["TIME(s)"][1] = list(
+            np.linspace(wall / max(n, 1), wall, max(n, 1)) / len(models))
+        if has_val:
+            m._predict_scaled_and_log(
+                jnp.asarray(m.X_scaler.forward_transform(d[2]), m.dtype),
+                np.asarray(d[3]).reshape(-1, 1))
+        m.min_obj_ind = -1
+    return models
+
+
 # Jitted sampler runners for fit_bayes, cached by static config with
 # (init_positions, key, X, y[, betas]) as TRACED arguments — same rationale
 # as _FUSED_RUNNERS, plus the CLAUDE.md constraint that data must never be

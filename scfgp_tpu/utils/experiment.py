@@ -24,7 +24,7 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-from ..models.model import SCFGP
+from ..models.model import SCFGP, fit_fast_batch
 
 PLOT_METRICS = ("MAE", "NMAE", "MSE", "NMSE", "RMSE", "MNLP", "SCORE",
                 "TIME(s)")
@@ -33,7 +33,8 @@ PLOT_METRICS = ("MAE", "NMAE", "MSE", "NMSE", "RMSE", "MNLP", "SCORE",
 def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
               sparsity: int, trials: int, opt_params: dict,
               out_dir: str, seed0: int = 0, verbose: bool = False,
-              fused: bool = True) -> dict:
+              fused: bool = True, batched: bool = False,
+              restarts: int = 1, extra_basis=None) -> dict:
     """Sweep feature sizes x trials; returns summary and writes artifacts.
 
     Artifacts in ``out_dir``: ``best_model.pkl`` (SCORE tournament winner,
@@ -60,31 +61,56 @@ def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
     for nfeats in nfeats_choices:
         per_trial = {m: [] for m in PLOT_METRICS}
         per_floor = {m: [] for m in floor_results}
+        t_size = time.time()
+        splits = []
         for rep in range(trials):
             Xt, yt, Xv, yv, meta = loader(seed=seed0 + rep)
+            splits.append((Xt, yt, Xv, yv))
             summary_meta = meta
             if meta.get("source") == "synthetic-surrogate" \
                     and meta.get("name") in ORACLES:
                 fl = surrogate_floor(meta["name"], Xv, yv)
                 for m in per_floor:
                     per_floor[m].append(fl[m])
-            model = SCFGP(sparsity=sparsity, nfeats=int(nfeats),
-                          seed=seed0 + rep, verbose=verbose)
-            t0 = time.time()
-            if fused:
-                model.fit_fast(Xt, yt, Xv, yv, **opt_params)
-            else:
-                model.fit(Xt, yt, Xv, yv, **opt_params)
+        # restarts > 1: per split, train several inits and keep the best by
+        # validation SCORE — multi-start for the trig-multimodal objective
+        # (same selection rule as the best-model tournament).
+        groups = [[SCFGP(sparsity=sparsity, nfeats=int(nfeats),
+                         seed=(seed0 + rep if k == 0
+                               else seed0 + 1000003 * k + rep),
+                         verbose=verbose, extra_basis=extra_basis)
+                   for k in range(restarts)] for rep in range(trials)]
+        if batched:
+            # One vmapped fused program trains every (trial x restart) model
+            # of this feature size at once (models/model.py::fit_fast_batch).
+            fit_fast_batch([m for g in groups for m in g],
+                           [splits[rep] for rep in range(trials)
+                            for _ in range(restarts)], **opt_params)
+        else:
+            for rep, g in enumerate(groups):
+                for model in g:
+                    if fused:
+                        model.fit_fast(*splits[rep], **opt_params)
+                    else:
+                        model.fit(*splits[rep], **opt_params)
+
+        def val_score(m_):
+            s = m_.evals["SCORE"][1]
+            return s[min(m_.min_obj_ind, len(s) - 1)]
+
+        for rep, g in enumerate(groups):
+            model = min(g, key=val_score)
             ix = model.min_obj_ind
             for m in PLOT_METRICS:
                 series = model.evals[m][1]
                 per_trial[m].append(series[min(ix, len(series) - 1)])
-            score = model.evals["SCORE"][1][min(ix, len(model.evals["SCORE"][1]) - 1)]
+            score = val_score(model)
             if score < best_score:
                 best_score = score
                 model.save(os.path.join(out_dir, "best_model.pkl"))
-            print(f"[{name}] m={nfeats} trial={rep + 1}/{trials} "
-                  f"SCORE={score:.4f} ({time.time() - t0:.1f}s)", flush=True)
+        print(f"[{name}] m={nfeats}: {trials} trials x {restarts} restart(s)"
+              f" mean SCORE={np.mean(per_trial['SCORE']):.4f}"
+              f" ({time.time() - t_size:.1f}s)", flush=True)
         for m in PLOT_METRICS:
             results[m]["mean"].append(float(np.mean(per_trial[m])))
             results[m]["std"].append(float(np.std(per_trial[m])))
@@ -102,6 +128,9 @@ def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
         "nfeats_choices": list(map(int, nfeats_choices)),
         "sparsity": sparsity,
         "trials": trials,
+        "restarts": restarts,
+        "batched": batched,
+        "extra_basis": bool(extra_basis),
         "best_score": float(best_score),
         "metrics": results,
     }
