@@ -249,6 +249,7 @@ def fit_fast_batch(models, datasets, **opt_params):
         m.params = r.params
         m.post = r.post
         m._stats = None
+        m._ensemble = None
         n = int(r.num_iters)
         m.evals["COST"][1] = [float(v) for v in
                               np.asarray(r.cost_history)[:n]]
@@ -368,6 +369,7 @@ class SCFGP:
         self.bayes_result = None  # sampler diagnostics from fit_bayes
         self._train_state = None  # resume state (optimize docstring)
         self._stats = None        # update_data sufficient-stats cache
+        self._ensemble = None     # [(params, post)] from fit_ensemble
         self.N = self.D = -1
         self.X = self.y = None
         self.min_obj_ind = 0
@@ -603,6 +605,7 @@ class SCFGP:
 
         self.params = argmin_params
         self._stats = None  # params changed: update_data cache is stale
+        self._ensemble = None  # a fresh point fit supersedes any mixture
         cost, aux = eval_fn(self.params, self.X, self.y)
         self.post = aux.post
         self.evals["COST"][1].append(float(cost))
@@ -695,6 +698,7 @@ class SCFGP:
         wall = time.time() - t0
         self.params = res.params
         self._stats = None  # params changed: update_data cache is stale
+        self._ensemble = None  # a fresh point fit supersedes any mixture
         self.post = res.post
         n = int(res.num_iters)
         self.evals["COST"][1] = [float(v) for v in
@@ -715,6 +719,65 @@ class SCFGP:
         """One-call fused training: set_data + optimize_fused."""
         self.set_data(X, y)
         self.optimize_fused(Xv, yv, **opt_params)
+        return self
+
+    def fit_ensemble(self, X, y, Xv=None, yv=None, k: int = 5,
+                     **opt_params):
+        """Deep-ensemble fit: k independent restarts trained as ONE vmapped
+        program, predictions mixed as an equal-weight GP mixture.
+
+        The SCFGP objective is trig-multimodal in the frequency matrices
+        (SURVEY.md §7.2), so single gradient-descent runs land in different
+        basins; mixing over restarts is the point-estimate counterpart of
+        ``fit_bayes``'s posterior mixing (law of total variance over
+        members).  Measured on the boston surrogate: base config ~1.3x the
+        Bayes floor, 5-restart mixture (with a linear ``extra_basis``)
+        1.07-1.22x — at the level of an exact ML-II GP on the same splits
+        (``experiments/boston_floor_probe*.py``, docs/RESULTS.md).
+
+        Training cost is ~one fit: members batch through the MXU together
+        via ``fit_fast_batch``.  After this call, ``predict`` returns the
+        mixture; ``self.params``/``post`` hold the best single member (by
+        the training objective) for visualizer/save compatibility.
+        """
+        members = []
+        for _ in range(int(k)):
+            m = SCFGP(sparsity=self.S, nfeats=self.M,
+                      X_scaling_method=self.X_scaler.algo,
+                      y_scaling_method=self.y_scaler.algo,
+                      seed=self._rng.randint(0, 2**31 - 1),
+                      dtype=self.dtype, extra_basis=self.extra_basis,
+                      mm_dtype=self.mm_dtype)
+            members.append(m)
+        has_val = Xv is not None and yv is not None
+        data = [(X, y, Xv, yv) if has_val else (X, y)] * len(members)
+        fit_fast_batch(members, data, **opt_params)
+
+        # Members share scaler state (fitted on the same X, y): adopt it.
+        m0 = members[0]
+        self.X_scaler, self.y_scaler = m0.X_scaler, m0.y_scaler
+        self.X, self.y = m0.X, m0.y
+        self.N, self.D, self.S = m0.N, m0.D, m0.S
+        obj = opt_params.get("obj", "COST").upper()
+        obj = obj if obj in self.evals and has_val else "COST"
+
+        def final_obj(m):
+            series = m.evals[obj][1]
+            return series[-1] if series else np.inf
+
+        best = min(members, key=final_obj)
+        self.params, self.post = best.params, best.post
+        self._stats = None
+        self._ensemble = [(m.params, m.post) for m in members]
+        for metric in self.evals:
+            self.evals[metric][1] = list(best.evals[metric][1]) \
+                if metric in ("COST", "TIME(s)") else []
+        if has_val:
+            # Metrics of the MIXTURE (predict routes through the ensemble).
+            self._predict_scaled_and_log(
+                jnp.asarray(self.X_scaler.forward_transform(Xv), self.dtype),
+                np.asarray(yv).reshape(-1, 1))
+        self.min_obj_ind = -1
         return self
 
     def fit_bayes(self, X, y, Xv=None, yv=None, sampler: str = "hmc",
@@ -887,6 +950,20 @@ class SCFGP:
             raise RuntimeError(
                 "predict() before training: call fit()/optimize() first "
                 "(or load() a checkpoint with a stored posterior)")
+        ens = getattr(self, "_ensemble", None)
+        if ens:
+            # Equal-weight GP mixture over restarts (fit_ensemble): mean of
+            # means, law-of-total-variance std, in scaled space — the same
+            # mixing rule as predict_bayes.
+            mus, var = [], 0.0
+            for p, post in ens:
+                mu_j, std_j = _jitted_predict(p, post, Xs_t,
+                                              basis_fn=self.extra_basis)
+                mus.append(mu_j)
+                var = var + std_j * std_j / len(ens)
+            mu_f = sum(mus) / len(ens)
+            var = var + sum((m - mu_f) ** 2 for m in mus) / len(ens)
+            return self._unscale_moments(mu_f, jnp.sqrt(var))
         mu_f, std_f = _jitted_predict(self.params, self.post, Xs_t,
                                       basis_fn=self.extra_basis)
         return self._unscale_moments(mu_f, std_f)
@@ -977,6 +1054,9 @@ class SCFGP:
             "thetas": None if self.thetas is None else np.asarray(
                 self.thetas),
             "train_state": train_state,
+            "ensemble": None if not getattr(self, "_ensemble", None) else [
+                (jax.tree.map(np.asarray, p), jax.tree.map(np.asarray, q))
+                for p, q in self._ensemble],
         }
         with open(path, "wb") as f:
             pickle.dump(state, f, pickle.HIGHEST_PROTOCOL)
@@ -1001,6 +1081,13 @@ class SCFGP:
         self.evals = state["evals"]
         self.min_obj_ind = state.get("min_obj_ind", 0)
         self._train_state = state.get("train_state")
+        self._ensemble = None
+        if state.get("ensemble"):
+            to_dev = lambda t: jnp.asarray(t, self.dtype)
+            self._ensemble = [
+                (jax.tree.map(to_dev, SCFGPParams(*p)),
+                 jax.tree.map(to_dev, Posterior(*q)))
+                for p, q in state["ensemble"]]
         if state.get("thetas") is not None:
             self.thetas = jnp.asarray(state["thetas"], self.dtype)
         self.NAME = "SCFGP (Sparsity=%d, Fourier Features=%d)" % (self.S, self.M)

@@ -103,3 +103,32 @@ def test_run_sweep_batched_with_restarts(tmp_path):
     assert summary["restarts"] == 2 and summary["batched"]
     assert len(summary["metrics"]["NMSE"]["mean"]) == 1
     assert np.isfinite(summary["metrics"]["NMSE"]["mean"][0])
+
+
+def test_fit_ensemble_mixture_and_roundtrip(tmp_path):
+    """fit_ensemble: k restarts in one batched program, mixture prediction,
+    checkpoint round-trip, and invalidation on refit."""
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    X, y = synthetic_gp_rff(n=180, d=3, s=3, m=6, seed=5, dtype=np.float64)
+    Xt, yt, Xv, yv = X[:140], y[:140], X[140:], y[140:]
+    m = SCFGP(sparsity=3, nfeats=6, seed=0)
+    m.fit_ensemble(Xt, yt, Xv, yv, k=3, obj="SCORE", **{
+        k_: v for k_, v in OPT.items() if k_ != "algo"})
+    assert m._ensemble is not None and len(m._ensemble) == 3
+    nmse = m.evals["NMSE"][1][m.min_obj_ind]
+    assert np.isfinite(nmse) and nmse < 1.0
+
+    mu, std = m.predict(Xv)
+    assert mu.shape[0] == Xv.shape[0] and np.all(std > 0)
+
+    # round-trip: the mixture survives save/load exactly
+    p = str(tmp_path / "ens.pkl")
+    m.save(p)
+    m2 = SCFGP().load(p)
+    mu2, std2 = m2.predict(Xv)
+    np.testing.assert_allclose(mu2, mu, rtol=1e-12)
+    np.testing.assert_allclose(std2, std, rtol=1e-12)
+
+    # a fresh point fit supersedes the mixture
+    m.fit_fast(Xt, yt, max_iter=10)
+    assert m._ensemble is None
