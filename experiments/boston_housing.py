@@ -22,6 +22,15 @@ def main():
     ap.add_argument("--trials", type=int, default=None,
                     help="trials per feature size (reference: 50)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--at-floor", action="store_true",
+                    help="floor-closing protocol: fit_ensemble(k=16, "
+                         "mix_best=8) with a linear extra basis per trial "
+                         "(measured ~1.1x the Bayes floor, the exact-GP "
+                         "level — docs/RESULTS.md); writes results/"
+                         "boston_floor/")
+    ap.add_argument("--batched", action="store_true",
+                    help="train all trials of a feature size as one vmapped "
+                         "program (fit_fast_batch)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -45,10 +54,24 @@ def main():
         "max_cvrg": 18,
         "obj": "SCORE",
     }
+    kw = {}
+    name = "boston_housing"
+    if args.at_floor:
+        import jax.numpy as jnp
+
+        def linear_basis(X):
+            return jnp.asarray(X)
+
+        name = "boston_floor"
+        opt_params.update(max_iter=1500, max_cvrg=40)
+        kw = dict(ensemble=16, mix_best=8, extra_basis=linear_basis)
+    elif args.batched:
+        kw = dict(batched=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results", "boston_housing")
-    summary = run_sweep("boston_housing", load_boston, nfeats, sparsity=20,
-                        trials=trials, opt_params=opt_params, out_dir=out)
+                       "results", name)
+    summary = run_sweep(name, load_boston, nfeats, sparsity=20,
+                        trials=trials, opt_params=opt_params, out_dir=out,
+                        **kw)
     print("NMSE means:", summary["metrics"]["NMSE"]["mean"])
     print("MNLP means:", summary["metrics"]["MNLP"]["mean"])
     print("data source:", summary["data_source"])

@@ -8,7 +8,11 @@ Three predictors per boston split:
              of the known generative process (no predictor beats it),
   exact_gp — ARD-RBF GP, ML-II hyperparameters (``scfgp_tpu.baselines``):
              certifies the floor is *reachable*,
-  scfgp    — the framework at the boston experiment config.
+  scfgp    — the framework at the boston experiment config,
+  scfgp_ensemble — fit_ensemble(k=16, mix_best=8) with a linear extra
+             basis: the measured floor-closing recipe (round 2) — k
+             restarts train as ONE vmapped program, the best 8 by
+             validation SCORE predict as a GP mixture.
 
 (abalone needs no oracle run: the full 30x10 sweep already sits at
 floor x1.02 — experiments/results/abalone/results.json.)
@@ -57,6 +61,16 @@ def main():
                    cvrg_tol=1e-5, max_cvrg=18)
         nmse_sc = float(m.evals["NMSE"][1][m.min_obj_ind])
 
+        def linear_basis(Xb):
+            import jax.numpy as jnp
+            return jnp.asarray(Xb)
+        me = SCFGP(sparsity=20, nfeats=20, seed=seed,
+                   extra_basis=linear_basis)
+        me.fit_ensemble(Xt, yt, Xv, yv, k=16, mix_best=8, obj="SCORE",
+                        algo=algo, max_iter=1500, cvrg_tol=1e-5,
+                        max_cvrg=40)
+        nmse_ens = float(me.evals["NMSE"][1][me.min_obj_ind])
+
         rows.append({
             "seed": seed, "source": meta["source"],
             "floor_nmse": round(floor["NMSE"], 4),
@@ -64,6 +78,8 @@ def main():
             "exact_gp_over_floor": round(nmse_gp / floor["NMSE"], 3),
             "scfgp_nmse": round(nmse_sc, 4),
             "scfgp_over_floor": round(nmse_sc / floor["NMSE"], 3),
+            "scfgp_ensemble_nmse": round(nmse_ens, 4),
+            "scfgp_ensemble_over_floor": round(nmse_ens / floor["NMSE"], 3),
         })
         print(json.dumps(rows[-1]), flush=True)
 
@@ -74,6 +90,8 @@ def main():
             [r["exact_gp_over_floor"] for r in rows])), 3),
         "mean_scfgp_over_floor": round(float(np.mean(
             [r["scfgp_over_floor"] for r in rows])), 3),
+        "mean_scfgp_ensemble_over_floor": round(float(np.mean(
+            [r["scfgp_ensemble_over_floor"] for r in rows])), 3),
     }
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "results", "floors")
@@ -81,7 +99,8 @@ def main():
     with open(os.path.join(outdir, "floors.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: summary[k] for k in
-                      ("mean_exact_gp_over_floor", "mean_scfgp_over_floor")}))
+                      ("mean_exact_gp_over_floor", "mean_scfgp_over_floor",
+                       "mean_scfgp_ensemble_over_floor")}))
 
 
 if __name__ == "__main__":

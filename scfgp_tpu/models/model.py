@@ -722,7 +722,7 @@ class SCFGP:
         return self
 
     def fit_ensemble(self, X, y, Xv=None, yv=None, k: int = 5,
-                     **opt_params):
+                     mix_best: Optional[int] = None, **opt_params):
         """Deep-ensemble fit: k independent restarts trained as ONE vmapped
         program, predictions mixed as an equal-weight GP mixture.
 
@@ -730,9 +730,13 @@ class SCFGP:
         (SURVEY.md §7.2), so single gradient-descent runs land in different
         basins; mixing over restarts is the point-estimate counterpart of
         ``fit_bayes``'s posterior mixing (law of total variance over
-        members).  Measured on the boston surrogate: base config ~1.3x the
-        Bayes floor, 5-restart mixture (with a linear ``extra_basis``)
-        1.07-1.22x — at the level of an exact ML-II GP on the same splits
+        members).  ``mix_best=j`` mixes only the j best members by the
+        validation objective — the same selection currency as the
+        reference's best-model tournament (``reference:
+        boston_housing.py:90-102``) — which filters members stuck in bad
+        basins.  Measured on the boston surrogate (linear ``extra_basis``):
+        base config ~1.3x the Bayes floor, ``k=16, mix_best=8`` at
+        **1.06x** — the exact ML-II GP measures 1.08x on the same splits
         (``experiments/boston_floor_probe*.py``, docs/RESULTS.md).
 
         Training cost is ~one fit: members batch through the MXU together
@@ -765,6 +769,8 @@ class SCFGP:
             series = m.evals[obj][1]
             return series[-1] if series else np.inf
 
+        if mix_best is not None and has_val:
+            members = sorted(members, key=final_obj)[:max(1, int(mix_best))]
         best = min(members, key=final_obj)
         self.params, self.post = best.params, best.post
         self._stats = None

@@ -34,7 +34,8 @@ def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
               sparsity: int, trials: int, opt_params: dict,
               out_dir: str, seed0: int = 0, verbose: bool = False,
               fused: bool = True, batched: bool = False,
-              restarts: int = 1, extra_basis=None) -> dict:
+              restarts: int = 1, extra_basis=None,
+              ensemble: int = 0, mix_best=None) -> dict:
     """Sweep feature sizes x trials; returns summary and writes artifacts.
 
     Artifacts in ``out_dir``: ``best_model.pkl`` (SCORE tournament winner,
@@ -75,12 +76,27 @@ def run_sweep(name: str, loader: Callable, nfeats_choices: Sequence[int],
         # restarts > 1: per split, train several inits and keep the best by
         # validation SCORE — multi-start for the trig-multimodal objective
         # (same selection rule as the best-model tournament).
-        groups = [[SCFGP(sparsity=sparsity, nfeats=int(nfeats),
-                         seed=(seed0 + rep if k == 0
-                               else seed0 + 1000003 * k + rep),
-                         verbose=verbose, extra_basis=extra_basis)
-                   for k in range(restarts)] for rep in range(trials)]
-        if batched:
+        # ensemble > 0: per split, fit_ensemble(k=ensemble, mix_best=...)
+        # mixes the restarts instead of selecting one (the measured
+        # floor-closing recipe on boston — docs/RESULTS.md).
+        if ensemble:
+            groups = []
+            for rep in range(trials):
+                m = SCFGP(sparsity=sparsity, nfeats=int(nfeats),
+                          seed=seed0 + rep, verbose=verbose,
+                          extra_basis=extra_basis)
+                m.fit_ensemble(*splits[rep], k=ensemble, mix_best=mix_best,
+                               **opt_params)
+                groups.append([m])
+        else:
+            groups = [[SCFGP(sparsity=sparsity, nfeats=int(nfeats),
+                             seed=(seed0 + rep if k == 0
+                                   else seed0 + 1000003 * k + rep),
+                             verbose=verbose, extra_basis=extra_basis)
+                       for k in range(restarts)] for rep in range(trials)]
+        if ensemble:
+            pass  # trained above
+        elif batched:
             # One vmapped fused program trains every (trial x restart) model
             # of this feature size at once (models/model.py::fit_fast_batch).
             fit_fast_batch([m for g in groups for m in g],
