@@ -180,11 +180,38 @@ def fit_fast_batch(models, datasets, **opt_params):
     program.  Semantics per trial match ``fit_fast`` (same RNG draw order,
     same runner math); trials are only batched, never coupled.  Returns the
     models, each with params/posterior/metrics filled in.
+
+    ``mesh=``: TRIAL parallelism — the leading batch axis is sharded over
+    the mesh's ``data`` axis (embarrassingly parallel: GSPMD partitions the
+    vmapped program with no collectives in the hot loop), so a 50-trial
+    sweep spreads over however many chips the mesh holds.  B is padded to a
+    multiple of the device count by repeating the last trial; pad results
+    are discarded.  This is the third parallelism axis next to row-sharded
+    DP (``fit_fast(mesh=...)``) and feature-sharded TP (``parallel/tp.py``).
     """
     if len(models) != len(datasets):
         raise ValueError("models and datasets must have equal length")
     if not models:
         return models
+    mesh = opt_params.pop("mesh", None)
+
+    def place(tree):
+        """Pad the leading trial axis to the shard count and shard it."""
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import DATA_AXIS
+        n = mesh.shape[DATA_AXIS]
+        Bp = -(-len(models) // n) * n
+
+        def pad(a):
+            extra = Bp - a.shape[0]
+            if extra:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (extra,) + a.shape[1:])])
+            return jax.device_put(
+                a, NamedSharding(mesh, PartitionSpec(DATA_AXIS)))
+        return jax.tree.map(pad, tree)
     has_val = len(datasets[0]) == 4
     for m, d in zip(models, datasets):
         m.set_data(d[0], d[1])
@@ -235,13 +262,14 @@ def fit_fast_batch(models, datasets, **opt_params):
         ystate_b = tuple(
             jnp.stack([jnp.asarray(m.y_scaler.state[k], m.dtype)
                        for m in models]) for k in y_state_keys)
-        res = jax.block_until_ready(_batched(base)(
-            params_b, keys, X_b, y_b, Xv_b, ys_b, ystate_b))
+        args = place((params_b, keys, X_b, y_b, Xv_b, ys_b, ystate_b))
+        res = jax.block_until_ready(_batched(base)(*args))
     else:
         base = _fused_runner(algo["algo"], params_items_, max_iter,
                              cvrg_tol, max_cvrg, models[0].extra_basis,
                              models[0].mm_dtype)
-        res = jax.block_until_ready(_batched(base)(params_b, keys, X_b, y_b))
+        args = place((params_b, keys, X_b, y_b))
+        res = jax.block_until_ready(_batched(base)(*args))
     wall = time.time() - t0
 
     for i, (m, d) in enumerate(zip(models, datasets)):

@@ -56,6 +56,13 @@ def main(argv=None):
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--fused", action="store_true",
                     help="device-fused training loop (fit_fast)")
+    ap.add_argument("--ensemble", type=int, default=None,
+                    help="deep-ensemble fit: K restarts trained as one "
+                         "vmapped program, GP-mixture prediction "
+                         "(fit_ensemble)")
+    ap.add_argument("--mix-best", type=int, default=None,
+                    help="with --ensemble: mix only the J best members by "
+                         "the validation objective")
     ap.add_argument("--bayes", choices=["hmc", "nuts", "tempered", "vi"],
                     default=None,
                     help="sample the hyperparameter posterior instead of "
@@ -134,6 +141,13 @@ def main(argv=None):
                       "draws": int(model.thetas.shape[0])}
         if hasattr(res, "swap_rate"):
             bayes_info["swap_rate"] = round(float(res.swap_rate), 4)
+    elif args.ensemble or raw.get("ensemble"):
+        k = int(args.ensemble or raw.get("ensemble"))
+        mix = args.mix_best if args.mix_best is not None \
+            else raw.get("mix_best")
+        for k_ in ("nbatches", "batchsize", "log_file"):
+            kwargs.pop(k_, None)
+        model.fit_ensemble(Xt, yt, Xv, yv, k=k, mix_best=mix, **kwargs)
     elif tcfg.fused:
         for k in ("nbatches", "batchsize", "log_file"):
             kwargs.pop(k, None)

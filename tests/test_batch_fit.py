@@ -132,3 +132,22 @@ def test_fit_ensemble_mixture_and_roundtrip(tmp_path):
     # a fresh point fit supersedes the mixture
     m.fit_fast(Xt, yt, max_iter=10)
     assert m._ensemble is None
+
+
+def test_batched_mesh_trial_parallelism_matches_unsharded():
+    """mesh=: the trial axis shards over the 8-device mesh (with padding
+    when B % devices != 0); results must match the unsharded batched run."""
+    from scfgp_tpu.parallel.mesh import make_mesh
+
+    B = 5  # not a multiple of 8 -> exercises trial padding
+    splits = _make_splits(B)
+    plain = [SCFGP(sparsity=3, nfeats=6, seed=100 + b) for b in range(B)]
+    fit_fast_batch(plain, splits, obj="SCORE", **OPT)
+    sharded = [SCFGP(sparsity=3, nfeats=6, seed=100 + b) for b in range(B)]
+    fit_fast_batch(sharded, splits, obj="SCORE", mesh=make_mesh(), **OPT)
+    for mp, ms in zip(plain, sharded):
+        for metric in ("NMSE", "SCORE"):
+            np.testing.assert_allclose(
+                ms.evals[metric][1][ms.min_obj_ind],
+                mp.evals[metric][1][mp.min_obj_ind], rtol=1e-5,
+                err_msg=metric)
