@@ -8,3 +8,5 @@ from .predictive import make_logposterior, predictive_mixture
 from .tempering import (tempered_hmc_sample, geometric_ladder,
                         energy_matched_ladder,
                         TemperedHMCResult)
+from .diagnostics import (split_rhat, ess_bulk, ess_tail, ess_mean,
+                          diagnose, Diagnostics)

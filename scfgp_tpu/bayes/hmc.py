@@ -28,6 +28,12 @@ import jax
 import jax.numpy as jnp
 
 
+# A transition is "divergent" when the leapfrog energy error exceeds this
+# (Stan's convention; same constant as nuts.MAX_DELTA_ENERGY) or is
+# non-finite — the integrator left the region where the step size is stable.
+MAX_DELTA_ENERGY = 1000.0
+
+
 class DualAveragingState(NamedTuple):
     """Nesterov dual averaging for log step size (Hoffman & Gelman 2014)."""
 
@@ -116,11 +122,16 @@ class HMCResult(NamedTuple):
     accept_rate: jax.Array   # ()
     step_size: jax.Array     # ()
     inv_mass: jax.Array      # (P,)
+    # () count over the sampling phase (energy error > MAX_DELTA_ENERGY or
+    # non-finite).  Default None, NOT a jnp literal: a module-level jnp call
+    # would initialise the XLA backend at import and break
+    # jax.distributed.initialize (tests/test_multihost.py).
+    divergences: jax.Array = None
 
 
 def make_hmc_transition(logdensity_fn: Callable, num_integration_steps: int):
     """Build one jittable HMC transition ``(q, key, eps, inv_mass) ->
-    (q', logdens, accept_probs)`` over (chains, P) positions.
+    (q', logdens, accept_probs, divergent)`` over (chains, P) positions.
 
     Exposed separately so callers can host-loop transitions with adaptation
     outside the jit — the compile-friendly mode for environments where one
@@ -142,13 +153,15 @@ def make_hmc_transition(logdensity_fn: Callable, num_integration_steps: int):
         q1, p1 = leapfrog(vg, q, p0, eps, inv_mass, num_integration_steps)
         ld1, _ = vg(q1)
         h1 = -ld1 + kinetic(p1, inv_mass)
-        log_accept = jnp.minimum(0.0, h0 - h1)
+        delta = h1 - h0
+        div = jnp.logical_or(~jnp.isfinite(delta), delta > MAX_DELTA_ENERGY)
+        log_accept = jnp.minimum(0.0, -delta)
         log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
         u = jax.random.uniform(k2, (C,))
         accept = jnp.log(u) < log_accept
         q_next = jnp.where(accept[:, None], q1, q)
         ld_next = jnp.where(accept, ld1, ld0)
-        return q_next, ld_next, jnp.exp(log_accept)
+        return q_next, ld_next, jnp.exp(log_accept), div
 
     return transition
 
@@ -176,21 +189,23 @@ def hmc_sample_host_looped(logdensity_fn: Callable,
     for i in range(num_warmup):
         eps = jnp.exp(da.log_eps)
         inv_mass = welford_variance(wf)
-        q, ld, acc = transition(q, keys[i], eps, inv_mass)
+        q, ld, acc, _ = transition(q, keys[i], eps, inv_mass)
         da = da_update(da, jnp.mean(acc), target=target_accept)
         wf = welford_add_batch(wf, q)
     eps = jnp.exp(da.log_eps_avg)
     inv_mass = welford_variance(wf)
-    samples, lds, accs = [], [], []
+    samples, lds, accs, ndiv = [], [], [], 0
     for i in range(num_warmup, num_warmup + num_samples):
-        q, ld, acc = transition(q, keys[i], eps, inv_mass)
+        q, ld, acc, div = transition(q, keys[i], eps, inv_mass)
         samples.append(np.asarray(q))
         lds.append(np.asarray(ld))
         accs.append(float(jnp.mean(acc)))
+        ndiv += int(jnp.sum(div))
     return HMCResult(samples=jnp.asarray(np.stack(samples)),
                      logdensities=jnp.asarray(np.stack(lds)),
                      accept_rate=jnp.asarray(np.mean(accs)),
-                     step_size=eps, inv_mass=inv_mass)
+                     step_size=eps, inv_mass=inv_mass,
+                     divergences=jnp.asarray(ndiv, jnp.int32))
 
 
 def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
@@ -220,20 +235,22 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
                           num_integration_steps)
         ld1, _ = ld_grad(q1)
         h1 = -ld1 + kinetic(p1, inv_mass)
-        log_accept = jnp.minimum(0.0, h0 - h1)
+        delta = h1 - h0
+        div = jnp.logical_or(~jnp.isfinite(delta), delta > MAX_DELTA_ENERGY)
+        log_accept = jnp.minimum(0.0, -delta)
         log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
         u = jax.random.uniform(k2, (C,))
         accept = jnp.log(u) < log_accept
         q_next = jnp.where(accept[:, None], q1, q)
         ld_next = jnp.where(accept, ld1, ld0)
-        return q_next, ld_next, jnp.exp(log_accept)
+        return q_next, ld_next, jnp.exp(log_accept), div
 
     # -- warmup: adapt eps (dual averaging on mean accept) + mass (Welford) --
     def warmup_step(carry, key):
         q, da, wf = carry
         eps = jnp.exp(da.log_eps)
         inv_mass = welford_variance(wf)
-        q, ld, acc = transition(q, key, eps, inv_mass)
+        q, ld, acc, _ = transition(q, key, eps, inv_mass)
         # Mean acceptance across chains: the cross-chain collective.
         da = da_update(da, jnp.mean(acc), target=target_accept)
         wf = welford_add_batch(wf, q)
@@ -253,11 +270,11 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
 
     # -- sampling ------------------------------------------------------------
     def sample_step(q, key):
-        q, ld, acc = transition(q, key, eps, inv_mass)
-        return q, (q, ld, jnp.mean(acc))
+        q, ld, acc, div = transition(q, key, eps, inv_mass)
+        return q, (q, ld, jnp.mean(acc), jnp.sum(div.astype(jnp.int32)))
 
-    q, (samples, lds, accs) = jax.lax.scan(
+    q, (samples, lds, accs, divs) = jax.lax.scan(
         sample_step, q, keys[num_warmup:num_warmup + num_samples])
     return HMCResult(samples=samples, logdensities=lds,
                      accept_rate=jnp.mean(accs), step_size=eps,
-                     inv_mass=inv_mass)
+                     inv_mass=inv_mass, divergences=jnp.sum(divs))

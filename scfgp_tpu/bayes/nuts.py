@@ -102,7 +102,7 @@ def _build_subtree(ld_grad, edge_z, edge_r, depth, eps_signed, inv_mass, h0,
         z_prop=edge_z, ld_prop=jnp.asarray(-jnp.inf, dt),
         log_w=jnp.asarray(-jnp.inf, dt),
         sum_acc=jnp.zeros((), dt), r_ck=r_ck, csum_ck=csum_ck,
-        bad=jnp.bool_(False), key=key,
+        bad=jnp.bool_(False), div=jnp.bool_(False), key=key,
     )
 
     def cond(s):
@@ -155,13 +155,14 @@ def _build_subtree(ld_grad, edge_z, edge_r, depth, eps_signed, inv_mass, h0,
         return dict(n=n + 1, sp=sp, z=z, r=r, ld=ld, csum=csum,
                     z_prop=z_prop, ld_prop=ld_prop, log_w=log_w_new,
                     sum_acc=s["sum_acc"] + accept, r_ck=r_ck,
-                    csum_ck=csum_ck, bad=bad, key=key)
+                    csum_ck=csum_ck, bad=bad,
+                    div=jnp.logical_or(s["div"], diverging), key=key)
 
     out = jax.lax.while_loop(cond, body, init)
     ok = jnp.logical_not(out["bad"])
     return (ok, out["z"], out["r"], out["z_prop"], out["ld_prop"],
             out["log_w"], out["csum"], out["sum_acc"],
-            jnp.asarray(num_leaves, edge_z.dtype))
+            jnp.asarray(num_leaves, edge_z.dtype), out["div"])
 
 
 def _nuts_transition(ld_grad, z0, key, eps, inv_mass, max_depth):
@@ -196,7 +197,7 @@ def _nuts_transition(ld_grad, z0, key, eps, inv_mass, max_depth):
         edge_r = jnp.where(go_right, tree.r_plus, tree.r_minus)
 
         (ok, z_end, r_end, z_prop_s, ld_prop_s, log_w_s, sum_r_s,
-         sum_acc_s, leaves_s) = _build_subtree(
+         sum_acc_s, leaves_s, div_s) = _build_subtree(
             ld_grad, edge_z, edge_r, tree.depth, eps_signed, inv_mass, h0,
             k_sub, max_depth)
 
@@ -228,12 +229,12 @@ def _nuts_transition(ld_grad, z0, key, eps, inv_mass, max_depth):
             num_leaves=tree.num_leaves + leaves_s.astype(tree.num_leaves.dtype),
             depth=tree.depth + 1,
             turning=jnp.logical_or(turning_total, ~ok),
-            diverging=jnp.logical_and(~ok, jnp.bool_(False)) | tree.diverging)
+            diverging=jnp.logical_or(tree.diverging, div_s))
         return new_tree, key
 
     tree, _ = jax.lax.while_loop(cond, body, (tree, k_loop))
     accept_stat = tree.sum_accept / jnp.maximum(tree.num_leaves - 1.0, 1.0)
-    return tree.z_prop, tree.ld_prop, accept_stat, tree.depth
+    return tree.z_prop, tree.ld_prop, accept_stat, tree.depth, tree.diverging
 
 
 class NUTSResult(NamedTuple):
@@ -243,6 +244,10 @@ class NUTSResult(NamedTuple):
     step_size: jax.Array
     inv_mass: jax.Array
     mean_depth: jax.Array
+    # () divergent transitions during sampling (energy error >
+    # MAX_DELTA_ENERGY).  None default — a jnp literal here would touch the
+    # XLA backend at import time (see hmc.HMCResult).
+    divergences: jax.Array = None
 
 
 def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
@@ -264,7 +269,7 @@ def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
         q, da, wf = carry
         eps = jnp.exp(da.log_eps)
         inv_mass = welford_variance(wf)
-        q, ld, acc, depth = transition_all(q, key, eps, inv_mass)
+        q, ld, acc, depth, _ = transition_all(q, key, eps, inv_mass)
         da = da_update(da, jnp.mean(acc), target=target_accept)
         wf = welford_add_batch(wf, q)
         return (q, da, wf), None
@@ -281,14 +286,16 @@ def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
     inv_mass = welford_variance(wf)
 
     def sample_step(q, key):
-        q, ld, acc, depth = transition_all(q, key, eps, inv_mass)
-        return q, (q, ld, jnp.mean(acc), jnp.mean(depth.astype(jnp.float32)))
+        q, ld, acc, depth, div = transition_all(q, key, eps, inv_mass)
+        return q, (q, ld, jnp.mean(acc), jnp.mean(depth.astype(jnp.float32)),
+                   jnp.sum(div.astype(jnp.int32)))
 
-    q, (samples, lds, accs, depths) = jax.lax.scan(
+    q, (samples, lds, accs, depths, divs) = jax.lax.scan(
         sample_step, q, keys[num_warmup:num_warmup + num_samples])
     return NUTSResult(samples=samples, logdensities=lds,
                       accept_rate=jnp.mean(accs), step_size=eps,
-                      inv_mass=inv_mass, mean_depth=jnp.mean(depths))
+                      inv_mass=inv_mass, mean_depth=jnp.mean(depths),
+                      divergences=jnp.sum(divs))
 
 
 def nuts_sample_host_looped(logdensity_fn: Callable,
@@ -323,23 +330,25 @@ def nuts_sample_host_looped(logdensity_fn: Callable,
     for i in range(num_warmup):
         eps = jnp.exp(da.log_eps)
         inv_mass = welford_variance(wf)
-        q, ld, acc, depth = transition_all(q, keys[i], eps, inv_mass)
+        q, ld, acc, depth, _ = transition_all(q, keys[i], eps, inv_mass)
         da = da_update(da, jnp.mean(acc), target=target_accept)
         wf = welford_add_batch(wf, q)
     eps = jnp.exp(da.log_eps_avg)
     inv_mass = welford_variance(wf)
-    samples, lds, accs, depths = [], [], [], []
+    samples, lds, accs, depths, ndiv = [], [], [], [], 0
     for i in range(num_warmup, num_warmup + num_samples):
-        q, ld, acc, depth = transition_all(q, keys[i], eps, inv_mass)
+        q, ld, acc, depth, div = transition_all(q, keys[i], eps, inv_mass)
         samples.append(np.asarray(q))
         lds.append(np.asarray(ld))
         accs.append(float(jnp.mean(acc)))
         depths.append(float(jnp.mean(depth.astype(jnp.float32))))
+        ndiv += int(jnp.sum(div))
     return NUTSResult(samples=jnp.asarray(np.stack(samples)),
                       logdensities=jnp.asarray(np.stack(lds)),
                       accept_rate=jnp.asarray(np.mean(accs)),
                       step_size=eps, inv_mass=inv_mass,
-                      mean_depth=jnp.asarray(np.mean(depths)))
+                      mean_depth=jnp.asarray(np.mean(depths)),
+                      divergences=jnp.asarray(ndiv, jnp.int32))
 
 
 # --- Static-trajectory multinomial sampler (scan-only program) --------------
@@ -373,8 +382,10 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
     log_w = jnp.zeros((), dt)          # initial point carries weight 1
     sum_acc = jnp.zeros((), dt)
 
+    diverged = jnp.bool_(False)
+
     def leaf(carry, kleaf):
-        z, r, log_w_s, z_p, ld_p, sum_a, eps_signed = carry
+        z, r, log_w_s, z_p, ld_p, sum_a, div, eps_signed = carry
         z, r, ld = _leapfrog_1(ld_grad, z, r, eps_signed, inv_mass)
         energy = -ld + 0.5 * jnp.sum(r * r * inv_mass)
         delta = energy - h0
@@ -387,7 +398,8 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
         take = jnp.log(jax.random.uniform(kleaf)) < (log_w_leaf - log_w_new)
         z_p = jnp.where(take, z, z_p)
         ld_p = jnp.where(take, ld.astype(dt), ld_p)
-        return (z, r, log_w_new, z_p, ld_p, sum_a + accept, eps_signed), None
+        return (z, r, log_w_new, z_p, ld_p, sum_a + accept,
+                jnp.logical_or(div, diverging), eps_signed), None
 
     for j in range(depth):  # static unroll over doublings
         k_loop, k_dir, k_sub, k_merge = jax.random.split(k_loop, 4)
@@ -397,9 +409,10 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
         edge_r = jnp.where(go_right, r_plus, r_minus)
 
         init = (edge_z, edge_r, jnp.asarray(-jnp.inf, dt), edge_z,
-                jnp.asarray(-jnp.inf, dt), jnp.zeros((), dt), eps_signed)
-        (z_end, r_end, log_w_s, z_ps, ld_ps, sum_a, _), _ = jax.lax.scan(
-            leaf, init, jax.random.split(k_sub, 1 << j))
+                jnp.asarray(-jnp.inf, dt), jnp.zeros((), dt), diverged,
+                eps_signed)
+        (z_end, r_end, log_w_s, z_ps, ld_ps, sum_a, diverged, _), _ = \
+            jax.lax.scan(leaf, init, jax.random.split(k_sub, 1 << j))
 
         # Biased progressive merge of the new subtree (as in NUTS).
         take = jnp.log(jax.random.uniform(k_merge)) < (log_w_s - log_w)
@@ -414,7 +427,7 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
         r_minus = jnp.where(go_right, r_minus, r_end)
 
     accept_stat = sum_acc / ((1 << depth) - 1)
-    return z_prop, ld_prop, accept_stat
+    return z_prop, ld_prop, accept_stat, diverged
 
 
 def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
@@ -442,7 +455,7 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
         q, da, wf = carry
         eps = jnp.exp(da.log_eps)
         inv_mass = welford_variance(wf)
-        q, ld, acc = transition_all(q, key, eps, inv_mass)
+        q, ld, acc, _ = transition_all(q, key, eps, inv_mass)
         da = da_update(da, jnp.mean(acc), target=target_accept)
         wf = welford_add_batch(wf, q)
         return (q, da, wf), None
@@ -459,12 +472,13 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
     inv_mass = welford_variance(wf)
 
     def sample_step(q, key):
-        q, ld, acc = transition_all(q, key, eps, inv_mass)
-        return q, (q, ld, jnp.mean(acc))
+        q, ld, acc, div = transition_all(q, key, eps, inv_mass)
+        return q, (q, ld, jnp.mean(acc), jnp.sum(div.astype(jnp.int32)))
 
-    q, (samples, lds, accs) = jax.lax.scan(
+    q, (samples, lds, accs, divs) = jax.lax.scan(
         sample_step, q, keys[num_warmup:num_warmup + num_samples])
     return NUTSResult(samples=samples, logdensities=lds,
                       accept_rate=jnp.mean(accs), step_size=eps,
                       inv_mass=inv_mass,
-                      mean_depth=jnp.asarray(float(depth)))
+                      mean_depth=jnp.asarray(float(depth)),
+                      divergences=jnp.sum(divs))

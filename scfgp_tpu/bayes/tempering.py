@@ -32,8 +32,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .hmc import (DualAveragingState, WelfordState, da_init, da_update,
-                  welford_add_batch, welford_variance)
+from .hmc import (MAX_DELTA_ENERGY, DualAveragingState, WelfordState,
+                  da_init, da_update, welford_add_batch, welford_variance)
 
 
 class TemperedHMCResult(NamedTuple):
@@ -43,6 +43,10 @@ class TemperedHMCResult(NamedTuple):
     swap_rate: jax.Array     # () mean swap acceptance over proposed pairs
     step_sizes: jax.Array    # (T,) adapted per-rung step sizes
     inv_mass: jax.Array      # (T, P) per-rung diagonal inverse mass
+    # () cold-rung divergent transitions during sampling (see
+    # hmc.MAX_DELTA_ENERGY).  None default — a jnp literal here would touch
+    # the XLA backend at import time (see hmc.HMCResult).
+    divergences: jax.Array = None
 
 
 def geometric_ladder(n_rungs: int, beta_min: float = 0.1,
@@ -166,14 +170,16 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
                                    length=num_integration_steps)
         ld1, _ = base_vg(q1)
         h1 = -betas[:, None] * ld1 + kinetic(p1, inv_mass)
-        log_accept = jnp.minimum(0.0, h0 - h1)
+        delta = h1 - h0
+        div = jnp.logical_or(~jnp.isfinite(delta), delta > MAX_DELTA_ENERGY)
+        log_accept = jnp.minimum(0.0, -delta)
         log_accept = jnp.where(jnp.isfinite(log_accept), log_accept,
                                -jnp.inf)
         u = jax.random.uniform(k2, (T, C))
         accept = jnp.log(u) < log_accept
         q_next = jnp.where(accept[..., None], q1, q)
         ld_next = jnp.where(accept, ld1, ld0)
-        return q_next, ld_next, jnp.exp(log_accept)
+        return q_next, ld_next, jnp.exp(log_accept), div
 
     pair_t = jnp.arange(T - 1)
 
@@ -212,7 +218,7 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
         k_hmc, k_swap = jax.random.split(key)
         eps = jnp.exp(da.log_eps)                                # (T,)
         inv_mass = jax.vmap(welford_variance)(wf)                # (T, P)
-        q, ld, acc = transition(q, k_hmc, eps, inv_mass)
+        q, ld, acc, _ = transition(q, k_hmc, eps, inv_mass)
         q, ld, _ = swap(q, ld, k_swap, i % 2)
         da = da_update_v(da, jnp.mean(acc, axis=1))
         wf = welford_add_v(wf, q)
@@ -232,15 +238,16 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
         q, ld = q_ld
         key, i = inp
         k_hmc, k_swap = jax.random.split(key)
-        q, ld, acc = transition(q, k_hmc, eps, inv_mass)
+        q, ld, acc, div = transition(q, k_hmc, eps, inv_mass)
         q, ld, srate = swap(q, ld, k_swap, i % 2)
-        return (q, ld), (q[0], ld[0], jnp.mean(acc), srate)
+        return (q, ld), (q[0], ld[0], jnp.mean(acc), srate,
+                         jnp.sum(div[0].astype(jnp.int32)))
 
     ld_init, _ = base_vg(q)
-    (q, _), (samples, lds, accs, srates) = jax.lax.scan(
+    (q, _), (samples, lds, accs, srates, divs) = jax.lax.scan(
         sample_step, (q, ld_init),
         (keys[num_warmup:], steps[num_warmup:]))
     return TemperedHMCResult(
         samples=samples, logdensities=lds,
         accept_rate=jnp.mean(accs), swap_rate=jnp.mean(srates),
-        step_sizes=eps, inv_mass=inv_mass)
+        step_sizes=eps, inv_mass=inv_mass, divergences=jnp.sum(divs))

@@ -394,7 +394,9 @@ class SCFGP:
         self.params: Optional[SCFGPParams] = None
         self.post: Optional[Posterior] = None
         self.thetas = None        # posterior draws from fit_bayes
-        self.bayes_result = None  # sampler diagnostics from fit_bayes
+        self.bayes_result = None  # raw sampler result from fit_bayes
+        self.bayes_diagnostics = None  # Diagnostics (R-hat/ESS) from
+        self.bayes_diagnostics_wall = None  # ... and its wall clock (ESS/s)
         self._train_state = None  # resume state (optimize docstring)
         self._stats = None        # update_data sufficient-stats cache
         self._ensemble = None     # [(params, post)] from fit_ensemble
@@ -911,8 +913,29 @@ class SCFGP:
         self.thetas = jnp.asarray(
             draws[::max(thin, 1)].reshape(-1, draws.shape[-1]), self.dtype)
         self.evals["TIME(s)"][1].append(wall)
-        self.message("Bayes fit: %s accept=%.3f draws=%d wall=%.1fs" % (
-            sampler, float(res.accept_rate), self.thetas.shape[0], wall))
+        # Convergence diagnostics (Vehtari et al. split-R-hat + bulk/tail
+        # ESS): raw draws/s alone would reward a non-mixing sampler — ESS/s
+        # is the honest throughput (VERDICT r2 item 2).  VI draws are
+        # independent by construction but scored identically for uniformity.
+        from ..bayes.diagnostics import diagnose
+        ndiv = getattr(res, "divergences", None)
+        self.bayes_diagnostics = diagnose(
+            draws, None if ndiv is None else int(ndiv))
+        self.bayes_diagnostics_wall = wall
+        self.message("Bayes fit: %s accept=%.3f draws=%d wall=%.1fs %s "
+                     "ess/s=%.1f" % (
+            sampler, float(res.accept_rate), self.thetas.shape[0], wall,
+            self.bayes_diagnostics.summary(),
+            self.bayes_diagnostics.min_ess_bulk / max(wall, 1e-9)))
+        if self.bayes_diagnostics.max_rhat > 1.05:
+            import warnings
+            warnings.warn(
+                "fit_bayes(%s): max split-R-hat = %.3f > 1.05 — chains have "
+                "not mixed; posterior-predictive results are unreliable. "
+                "Increase num_warmup/num_samples or use sampler='tempered' "
+                "for multimodal posteriors." % (
+                    sampler, self.bayes_diagnostics.max_rhat),
+                stacklevel=2)
         if Xv is not None and yv is not None:
             self.predict_bayes(Xv, yv)
             self.min_obj_ind = -1

@@ -141,6 +141,16 @@ def main(argv=None):
                       "draws": int(model.thetas.shape[0])}
         if hasattr(res, "swap_rate"):
             bayes_info["swap_rate"] = round(float(res.swap_rate), 4)
+        diag = getattr(model, "bayes_diagnostics", None)
+        if diag is not None:
+            wall = model.bayes_diagnostics_wall
+            bayes_info.update(
+                max_rhat=round(diag.max_rhat, 4),
+                min_ess_bulk=round(diag.min_ess_bulk, 1),
+                min_ess_tail=round(diag.min_ess_tail, 1),
+                min_ess_bulk_per_s=round(
+                    diag.min_ess_bulk / max(wall, 1e-9), 2),
+                divergences=diag.divergences)
     elif args.ensemble or raw.get("ensemble"):
         k = int(args.ensemble or raw.get("ensemble"))
         mix = args.mix_best if args.mix_best is not None \

@@ -20,3 +20,10 @@ import jax  # noqa: E402
 # the tunneled TPU device.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute e2e/ensemble/multihost tests. Quick tier "
+        "(~3 min): python -m pytest tests/ -q -m 'not slow'")
