@@ -29,6 +29,24 @@ import jax.numpy as jnp
 from .optimizers import Transform, tree_add
 
 
+class FusedLoopState(NamedTuple):
+    """Resumable carry of the fused loop — everything the while_loop body
+    reads, so a run split at any iteration boundary replays the one-shot
+    run bitwise (the fused-path counterpart of the host loop's
+    ``_train_state``; the reference's pickled shared variables played this
+    role, ``reference: SCFGP/SCFGP.py:296-302``)."""
+
+    params: object
+    opt_state: object
+    it: jax.Array            # () int32 next iteration index
+    min_obj: jax.Array       # ()
+    argmin: object           # best params so far
+    cvrg_iter: jax.Array     # () int32 convergence counter
+    key: jax.Array           # PRNG key for stall annealing
+    cost_hist: jax.Array     # (max_iter,) nan-padded
+    obj_hist: jax.Array      # (max_iter,)
+
+
 class FusedFitResult(NamedTuple):
     params: object          # best params (restored argmin)
     post: object            # posterior at best params
@@ -36,19 +54,32 @@ class FusedFitResult(NamedTuple):
     obj_history: jax.Array   # (max_iter,) objective series
     num_iters: jax.Array     # ()
     min_obj: jax.Array       # ()
+    state: FusedLoopState = None   # final carry (checkpoint/resume handle)
+    done: jax.Array = None         # () bool: converged or hit max_iter
+    # (None defaults keep import side-effect-free; every constructor in
+    # this module passes real values.)
 
 
 def fused_optimize(value_and_grad_fn: Callable, tx: Transform, params,
                    key: jax.Array, max_iter: int = 500,
                    cvrg_tol: float = 1e-4, max_cvrg: int = 18,
                    obj_fn: Optional[Callable] = None,
-                   eval_fn: Optional[Callable] = None) -> FusedFitResult:
+                   eval_fn: Optional[Callable] = None,
+                   state: Optional[FusedLoopState] = None,
+                   upto=None) -> FusedFitResult:
     """Run the full early-stopping loop on device.
 
     ``value_and_grad_fn(params) -> ((cost, post), grads)``;
     ``obj_fn(params, post, cost) -> scalar`` objective (default: cost);
     ``eval_fn(params) -> (cost, post)`` gradient-free pass for the final
     posterior refresh (reference train_func, ``SCFGP.py:265``).
+
+    ``state``/``upto`` segment the loop for checkpointing: pass the
+    ``state`` of a previous result to continue its trajectory, and
+    ``upto`` (a traced iteration bound) to pause at a checkpoint boundary.
+    Because the body is deterministic given the carry, a run chopped into
+    segments is BITWISE equal to the one-shot run — same compiled program,
+    ``upto`` is just data.
     """
     opt_state = tx.init(params)
     if obj_fn is None:
@@ -56,9 +87,15 @@ def fused_optimize(value_and_grad_fn: Callable, tx: Transform, params,
 
     nan = jnp.nan
 
+    def stop_now(c):
+        return jnp.logical_and(c["it"] > 30, c["cvrg_iter"] > max_cvrg)
+
     def cond(c):
-        stop = jnp.logical_and(c["it"] > 30, c["cvrg_iter"] > max_cvrg)
-        return jnp.logical_and(c["it"] < max_iter, jnp.logical_not(stop))
+        go = jnp.logical_and(c["it"] < max_iter,
+                             jnp.logical_not(stop_now(c)))
+        if upto is not None:
+            go = jnp.logical_and(go, c["it"] < upto)
+        return go
 
     def body(c):
         (cost, post), grads = value_and_grad_fn(c["params"])
@@ -93,13 +130,16 @@ def fused_optimize(value_and_grad_fn: Callable, tx: Transform, params,
                     key=key, cost_hist=cost_hist, obj_hist=obj_hist)
 
     dtype = jnp.result_type(*[l.dtype for l in jax.tree.leaves(params)])
-    init = dict(
-        params=params, opt_state=opt_state, it=jnp.int32(0),
-        min_obj=jnp.asarray(jnp.inf, dtype), argmin=params,
-        cvrg_iter=jnp.int32(0), key=key,
-        cost_hist=jnp.full((max_iter,), nan, dtype),
-        obj_hist=jnp.full((max_iter,), nan, dtype),
-    )
+    if state is None:
+        init = dict(
+            params=params, opt_state=opt_state, it=jnp.int32(0),
+            min_obj=jnp.asarray(jnp.inf, dtype), argmin=params,
+            cvrg_iter=jnp.int32(0), key=key,
+            cost_hist=jnp.full((max_iter,), nan, dtype),
+            obj_hist=jnp.full((max_iter,), nan, dtype),
+        )
+    else:
+        init = state._asdict()
     out = jax.lax.while_loop(cond, body, init)
 
     best = out["argmin"]
@@ -111,4 +151,7 @@ def fused_optimize(value_and_grad_fn: Callable, tx: Transform, params,
     return FusedFitResult(params=best, post=post,
                           cost_history=out["cost_hist"],
                           obj_history=out["obj_hist"],
-                          num_iters=out["it"], min_obj=out["min_obj"])
+                          num_iters=out["it"], min_obj=out["min_obj"],
+                          state=FusedLoopState(**out),
+                          done=jnp.logical_or(out["it"] >= max_iter,
+                                              stop_now(out)))

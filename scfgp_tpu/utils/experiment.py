@@ -168,7 +168,14 @@ def _plot_sweep(name, nfeats_choices, results, plot_dir):
                     fmt="-o", capsize=4)
         ax.set_xlabel("Number of Fourier features")
         ax.set_ylabel(m)
-        ax.set_title(f"{name}: {m} vs feature size")
+        title = f"{name}: {m} vs feature size"
+        if m == "TIME(s)":
+            # Batched (vmapped) trials share ONE device program: per-model
+            # wall time is the batch wall divided evenly (fit_fast_batch),
+            # an estimate — label it so plots don't present it as measured
+            # (round-2 VERDICT weak item 6).
+            title += " (estimated: batched trials share one program)"
+        ax.set_title(title)
         fname = m.lower().replace("(", "").replace(")", "")
         fig.savefig(os.path.join(plot_dir, f"{fname}.png"), dpi=110,
                     bbox_inches="tight")
