@@ -74,6 +74,7 @@ def test_vi_recovers_diagonal_gaussian():
     assert draws.shape == (1000, 2)
 
 
+@pytest.mark.slow
 def test_scfgp_posterior_nuts_and_predictive():
     """Chain-parallel NUTS over a small SCFGP posterior + predictive mixing."""
     from scfgp_tpu.data.datasets import synthetic_gp_rff
@@ -200,6 +201,7 @@ def test_tempered_hmc_escapes_modes_plain_hmc_cannot():
     assert float(temp.swap_rate) > 0.01
 
 
+@pytest.mark.slow
 def test_tempered_hmc_on_scfgp_posterior_is_finite():
     """Replica-exchange over the real SCFGP log posterior: shapes + finite
     draws + cold-rung logdensities not worse than init."""
@@ -231,6 +233,7 @@ def test_tempered_hmc_on_scfgp_posterior_is_finite():
     assert T >= 2 and res.inv_mass.shape == (T, P)
 
 
+@pytest.mark.slow
 def test_energy_matched_ladder_gets_swaps_on_scfgp_posterior():
     """The default coarse ladder accepts ~no swaps on a data-sized
     posterior (dbeta * std(E) >> 1, measured on TPU); the energy-matched

@@ -57,6 +57,7 @@ def test_boston_surrogate_reaches_measured_floor():
     assert np.isfinite(mnlps).all() and np.mean(mnlps) < 3.0, mnlps
 
 
+@pytest.mark.slow
 def test_boston_ensemble_closes_gap_to_exact_gp_level():
     """The floor-closing recipe (fit_ensemble + linear extra basis) must
     land within 1.2x of the measured Bayes floor averaged over 3 splits —
@@ -82,6 +83,7 @@ def test_boston_ensemble_closes_gap_to_exact_gp_level():
     assert np.mean(ratios) < 1.2, ratios
 
 
+@pytest.mark.slow
 def test_abalone_surrogate_reaches_measured_floor():
     """Abalone must land within 1.1x of the measured floor RMSE — round-1
     sweeps already sat AT the floor (2.31-2.34 vs floor 2.34), which is the
@@ -92,6 +94,46 @@ def test_abalone_surrogate_reaches_measured_floor():
     m.fit_fast(Xt, yt, Xv, yv, obj="SCORE", max_iter=300)
     rmse = m.evals["RMSE"][1][m.min_obj_ind]
     assert rmse < 1.1 * floor["RMSE"], (rmse, floor["RMSE"])
+
+
+@pytest.mark.slow
+def test_abalone_mnlp_within_nats_of_bayes_floor():
+    """Calibration pinned to the Bayes-optimal MNLP (round-2 VERDICT
+    item 6): the Gaussian predictive at the true conditional mean/std of
+    the surrogate.  Measured: model 2.30 vs floor 2.27 (seed 0) — the
+    round-2 'abalone MNLP 2.33-2.38 above the reference band 2.15-2.17'
+    concern compared against REAL-data noise; against its own surrogate
+    floor the model is 0.04 nats from optimal.  Also pins the
+    self-calibration excess MNLP - 0.5(1+log(2 pi MSE)): intervals
+    consistent with the model's own point accuracy."""
+    Xt, yt, Xv, yv, meta = load_abalone(seed=0)
+    floor = surrogate_floor("abalone", Xv, yv)
+    m = SCFGP(sparsity=20, nfeats=64, seed=0)
+    m.fit_fast(Xt, yt, Xv, yv, obj="SCORE", max_iter=300)
+    mnlp = m.evals["MNLP"][1][m.min_obj_ind]
+    mse = m.evals["MSE"][1][m.min_obj_ind]
+    assert mnlp - floor["MNLP"] < 0.15, (mnlp, floor["MNLP"])
+    self_cal = mnlp - 0.5 * (1 + np.log(2 * np.pi * mse))
+    assert self_cal < 0.10, (mnlp, mse, self_cal)
+
+
+@pytest.mark.slow
+def test_kin8nm_self_calibration():
+    """kin8nm's MNLP gap to the heteroscedastic Bayes floor is an accuracy
+    gap, not a calibration gap: the self-calibration excess (intervals vs
+    the model's own MSE) must stay small (measured 0.067 nats, seed 0).
+    MNLP must also beat the best CONSTANT predictive (oracle-mean-free
+    baseline) by a wide margin."""
+    from scfgp_tpu.data.datasets import load_kin8nm
+    Xt, yt, Xv, yv, meta = load_kin8nm(seed=0)
+    m = SCFGP(sparsity=20, nfeats=100, seed=0)
+    m.fit_fast(Xt, yt, Xv, yv, obj="SCORE", max_iter=300)
+    mnlp = m.evals["MNLP"][1][m.min_obj_ind]
+    mse = m.evals["MSE"][1][m.min_obj_ind]
+    self_cal = mnlp - 0.5 * (1 + np.log(2 * np.pi * mse))
+    assert self_cal < 0.20, (mnlp, mse, self_cal)
+    const_mnlp = 0.5 * (1 + np.log(2 * np.pi * np.var(yv)))
+    assert mnlp < const_mnlp - 1.0, (mnlp, const_mnlp)
 
 
 def test_co2_surrogate_1d():
@@ -133,6 +175,37 @@ def test_co2_composite_reaches_floor():
                max_cvrg=40)
     nmse = m.evals["NMSE"][1][m.min_obj_ind]
     assert nmse < 1.2 * floor["NMSE"], (nmse, floor["NMSE"])
+
+
+def test_co2_composite_mnlp_at_floor_after_recalibration():
+    """The co2 composite sits AT the NMSE floor but the reference's
+    dispersion form softplus(c)(1+var_f) leaves its predictive std 8.4x too
+    wide at co2's extreme SNR (MNLP 1.69 vs Bayes floor 0.06 — measured).
+    ``recalibrate_dispersion`` (variance temperature-scaling on the TRAIN
+    split) must close it to within 0.25 nats of the Bayes-optimal MNLP."""
+    import jax.numpy as jnp
+
+    Xt, yt, Xv, yv, meta = load_co2(seed=0)
+    floor = surrogate_floor("co2", Xv, yv)
+    omega = 2 * np.pi * 525.0 / 12.0
+
+    def seasonal_trend(Xs):
+        t = Xs[:, :1]
+        return jnp.concatenate(
+            [jnp.ones_like(t), t, t * t,
+             jnp.sin(omega * t), jnp.cos(omega * t),
+             jnp.sin(2 * omega * t), jnp.cos(2 * omega * t)], axis=1)
+
+    m = SCFGP(sparsity=10, nfeats=20, seed=0, X_scaling_method="min-max",
+              y_scaling_method="normal", extra_basis=seasonal_trend,
+              dtype=jnp.float32)
+    m.fit_fast(Xt, yt, Xv, yv, obj="cost", max_iter=500,
+               algo={"algo": "adamax",
+                     "algo_params": {"learning_rate": 0.05, "beta1": 0.8,
+                                     "beta2": 0.999, "epsilon": 1e-8}},
+               max_cvrg=60, recalibrate=True)
+    mnlp = m.evals["MNLP"][1][m.min_obj_ind]
+    assert mnlp - floor["MNLP"] < 0.25, (mnlp, floor["MNLP"])
 
 
 def test_dataset_loaders_shapes():

@@ -133,6 +133,7 @@ def test_fit_bayes_vi_and_predict():
     assert np.isfinite(float(m.bayes_result.elbo))
 
 
+@pytest.mark.slow
 def test_fit_bayes_tempered_smoke():
     """Tempered path through the model API builds an energy-matched ladder
     and returns finite draws with a measurable swap rate field."""

@@ -25,6 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_group_psum():
     port = str(_free_port())
     env = dict(os.environ)
