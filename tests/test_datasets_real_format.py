@@ -166,3 +166,40 @@ def test_real_branch_end_to_end_fit(real_data_dir):
     # better than predicting the mean (sanity, tiny data so loose)
     nmse = np.mean((mu - np.asarray(yv).ravel()) ** 2) / np.var(yv)
     assert nmse < 1.5
+
+
+def test_native_parser_matches_python_path(tmp_path):
+    """The C++/OpenMP numeric-table fast path (native/table_parser.cpp) must
+    agree exactly with the Python sniffing parser on clean numeric files —
+    headers, comments, comma and whitespace delimiters — and decline
+    (None) on categorical files so loaders fall back."""
+    import numpy as np
+
+    from scfgp_tpu.data.datasets import _numeric_block, _parse_table
+    from scfgp_tpu.data.native import get_lib, parse_numeric_table_native
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable (no g++?)")
+
+    rng = np.random.RandomState(0)
+    arr = rng.randn(50, 6)
+    cases = {
+        "plain.csv": "\n".join(",".join(f"{v:.10g}" for v in r)
+                               for r in arr),
+        "header.csv": "a,b,c,d,e,f\n" + "\n".join(
+            ",".join(f"{v:.10g}" for v in r) for r in arr),
+        "spaces.txt": "# comment\n" + "\n".join(
+            "  ".join(f"{v:.10g}" for v in r) for r in arr),
+    }
+    for fname, text in cases.items():
+        p = tmp_path / fname
+        p.write_text(text + "\n")
+        fast = parse_numeric_table_native(str(p))
+        slow = _numeric_block(_parse_table(str(p)), str(p))
+        assert fast is not None, fname
+        np.testing.assert_array_equal(fast, slow, err_msg=fname)
+
+    cat = tmp_path / "cat.csv"
+    cat.write_text("M,0.45,7\nF,0.53,9\n")
+    assert parse_numeric_table_native(str(cat)) is None

@@ -95,3 +95,32 @@ def test_fused_chol_inverse_vjp_matches_xla():
     g_ref = jax.grad(f_ref)(A)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=2e-3, atol=1e-4)
+
+
+def test_tri_inverse_blocked_exact():
+    """Block-Neumann triangular inverse (XLA ops, no VMEM bound): exact to
+    f32 precision at several (n, block) shapes including non-power-of-two
+    block counts (finite nilpotency, not an approximation)."""
+    from scfgp_tpu.ops.cholesky import tri_inverse_blocked
+
+    for n, b in [(256, 256), (512, 256), (512, 128), (768, 256)]:
+        A = _spd(n, seed=1)
+        L = jnp.linalg.cholesky(A)
+        Li = tri_inverse_blocked(L, block=b)
+        err = float(jnp.max(jnp.abs(
+            Li @ L - jnp.eye(n, dtype=L.dtype))))
+        assert err < 5e-6, (n, b, err)
+        # strictly lower-triangular output
+        assert float(jnp.max(jnp.abs(jnp.triu(np.asarray(Li), 1)))) == 0.0
+
+
+def test_tri_inverse_blocked_rejects_bad_block():
+    from scfgp_tpu.ops.cholesky import tri_inverse_blocked
+
+    L = jnp.linalg.cholesky(_spd(300, seed=2))
+    try:
+        tri_inverse_blocked(L, block=256)
+    except ValueError as e:
+        assert "multiple" in str(e)
+    else:
+        raise AssertionError("n % block != 0 should raise")
