@@ -73,15 +73,19 @@ def main():
         return L, tri_inverse_blocked(L, block=256)
 
     def measure(fn, A, steps, reps):
-        """Scan-chain fn so iterations serialize through the carry."""
+        """Scan-chain fn so iterations serialize through the carry.
+
+        The carry perturbation must depend on EVERY output element — an
+        earlier version fed only L back, and XLA dead-code-eliminated the
+        entire Li solve in the *_inv legs (chol+inv measured == chol).  A
+        scalar sum over all outputs blocks DCE; the O(n^2) positive
+        rescale keeps A SPD without adding an n^3 GEMM of overhead."""
         def one(carry, _):
             out = fn(carry)
-            lead = out[0] if isinstance(out, tuple) else out
-            # re-symmetrize into a fresh SPD input so the chain can't be
-            # constant-folded; keeps magnitudes stable
-            nxt = A + 1e-3 * (lead @ lead.T)
-            return nxt, (lead if not isinstance(out, tuple)
-                         else out[0])[0, 0]
+            parts = out if isinstance(out, tuple) else (out,)
+            s = sum(jnp.sum(p) for p in parts)
+            nxt = A * (1.0 + 1e-9 * jnp.tanh(s * 1e-6))
+            return nxt, s
 
         @jax.jit
         def run(A0):

@@ -457,6 +457,13 @@ class SCFGP:
         self.N, self.D = self.X.shape
         from .params import resolve_sparsity
         self.S = resolve_sparsity(self.S, self.D, self.M)
+        if isinstance(self.mm_dtype, str):
+            # mm_dtype="auto": pick the GEMM dtype from the measured
+            # same-session bench matrix now that (N, S, M) are known
+            # (ops/dispatch.py; bf16 only where it measurably wins).
+            from ..ops.dispatch import resolve_mm_dtype
+            self.mm_dtype = resolve_mm_dtype(
+                self.mm_dtype, self.N, 2 * (self.S + self.M))
         if self.params is None:
             self.message("-" * 60, "\nInitializing SCFGP hyperparameters...")
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))

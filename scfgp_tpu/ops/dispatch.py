@@ -1,0 +1,54 @@
+"""Measured implementation dispatch: pick GEMM dtype / kernels per config.
+
+Round-2 shipped ``mm_dtype`` / ``feature_impl`` as user flags with
+contradictory cross-session guidance (bf16 read +10% in one session and
+-4% in another — the shared tunneled chip drifts ±15% between sessions,
+docs/RESULTS.md).  Round 3 measured every leg in ONE session per cell
+(``experiments/tpu_bench_matrix.py``, v5e, committed at
+``experiments/results/bench_matrix.json``):
+
+  cell (N x 2K)   f32     bf16    pallas_phi   gram_stream   winner
+  8192 x  500     1108    1146    1061         954           bf16  (+3.5%)
+  8192 x 1024      634     586     573         505           f32
+  8192 x 2048      197     198     187         174           ~tie  (+0.6%)
+  65536 x  500     259     255     214         247           f32
+  65536 x 1024     102     108      88          44           bf16  (+5.6%)
+  65536 x 2048    33.7    37.8    (compile-svc error)  34.7  bf16 (+12.2%)
+
+Reading (the settled bf16 story): bf16 GEMMs only pay when the O(N K^2)
+GEMMs dominate the step — at N*(2K)^2 >= ~6.8e10 the win is real and grows
+(+6% -> +12%); below that the step is HBM/latency-mixed and bf16 is inside
+session noise (+-4%) with a precision cost (bf16 Gram needs scaled jitter,
+objective.solve_posterior).  The Pallas feature map never wins a dense
+fit (-4% to -18% — XLA fuses the trig map into the consumer GEMM well),
+and the streaming+Pallas-Gram leg is a MEMORY lever (O(block) footprint
+for N beyond HBM), not a dense-speed lever.
+
+``auto_mm_dtype`` encodes exactly that rule; ``SCFGP(mm_dtype="auto")``
+resolves it at fit time when N is known.
+"""
+
+from __future__ import annotations
+
+# bf16 threshold: smallest measured cell with a >5% same-session bf16 win
+# (65536 x 1024 -> N*(2K)^2 = 6.87e10).  Cells below it measured within
+# session noise or f32-favored.
+BF16_GEMM_WORK_THRESHOLD = 6.8e10
+
+
+def auto_mm_dtype(n_rows: int, two_k: int):
+    """Measured-table GEMM dtype: bf16 iff the O(N K^2) GEMM work is large
+    enough that the MXU's native-width win dominates (see module doc)."""
+    import jax.numpy as jnp
+    work = float(n_rows) * float(two_k) ** 2
+    return jnp.bfloat16 if work >= BF16_GEMM_WORK_THRESHOLD else None
+
+
+def resolve_mm_dtype(mm_dtype, n_rows: int, two_k: int):
+    """Resolve a user mm_dtype setting ("auto" | None | a dtype)."""
+    if isinstance(mm_dtype, str):
+        if mm_dtype != "auto":
+            raise ValueError(f"mm_dtype={mm_dtype!r}: use 'auto', None, or "
+                             "a dtype")
+        return auto_mm_dtype(n_rows, two_k)
+    return mm_dtype
