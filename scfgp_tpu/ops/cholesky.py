@@ -20,13 +20,26 @@ program:
 sequential grid (progressive block-inverse identity, two extra MXU GEMMs per
 step) — the pair ``(L, Li)`` is exactly what ``solve_posterior`` consumes.
 
-Measured v5e (n=512, scan-chained; experiments/tpu_chol_probe.py): XLA chol
-0.29 ms, XLA chol+triangular-inverse 0.31-0.36 ms, this kernel 0.37-0.38 ms,
-fused (L, Li) 0.41-0.44 ms.  The ~128-step serial diagonal factorization is
-latency-bound and keeps XLA ahead at reference sizes, so XLA stays the
-default; the kernels are correct, differentiable, compile on-chip in ~1 s
-(the TODO#1 compile blocker is resolved by the sequential-grid restructure),
-and are the building blocks for sizes beyond XLA's comfort zone.
+CLOSED as "XLA wins, measured" (round-3 crossover,
+``experiments/tpu_chol_crossover.py`` -> ``results/chol_crossover.json``;
+SURVEY.md §2.2 kernel 3).  Same-session DCE-proof chain, v5e, ms/call
+(common chain overhead ~0.2 ms cancels in deltas):
+
+    n      xla_chol   xla chol+inv   neumann_inv   pallas_chol  pallas(L,Li)
+    512    0.483      0.545          0.550         0.578        0.580
+    1024   0.604      0.780          0.774         0.779        0.784
+    2048   0.936      1.561          1.529         (>VMEM)      (>VMEM)
+    4096   2.514      7.250          7.941         (>VMEM)      (>VMEM)
+
+Three independent implementations were built and measured: this blocked
+Pallas kernel (parity with XLA at its n=1024 VMEM limit, loses below),
+the fused (L, Li) variant (same), and the XLA-composed block-Neumann
+inverse (``tri_inverse_blocked`` — ties XLA's solve at 1024-2048, -2% at
+2048, loses at 4096).  None beats XLA's chol+solve anywhere: the stage is
+serial-dependency-latency bound (~8x above MXU FLOP speed-of-light at
+n=2048), and that latency floor binds every blocked formulation equally.
+XLA stays the production path; the kernels remain correct, differentiable,
+compile on-chip in seconds, and CPU-testable via interpret mode.
 
 This shape exists because the previous whole-matrix kernel — a triple-nested
 ``fori_loop`` over (block column, block row, block col) with per-block

@@ -118,6 +118,25 @@ def test_abalone_mnlp_within_nats_of_bayes_floor():
 
 
 @pytest.mark.slow
+def test_kin8nm_m512_beats_exact_gp_band():
+    """Round-3 floor-closing: the committed sweep's 9.7x-floor reading was
+    a training-budget artifact, not capacity — at m=512 with 500-iteration
+    SCORE early stopping a single fit measures 3.48x floor (exact ARD-RBF
+    GP: 5.01x at its ntr=2500 data budget; ensemble k=8 reaches 2.91x,
+    experiments/results/kin8nm_floor/kin8nm_floor.json).  Pin the single
+    fit under 4.5x."""
+    import jax.numpy as jnp
+    from scfgp_tpu.data.datasets import load_kin8nm
+    Xt, yt, Xv, yv, _ = load_kin8nm(seed=0)
+    floor = surrogate_floor("kin8nm", Xv, yv)
+    m = SCFGP(sparsity=20, nfeats=512, seed=0, dtype=jnp.float32)
+    m.fit_fast(Xt, yt, Xv, yv, obj="SCORE", max_iter=500, cvrg_tol=1e-5,
+               max_cvrg=30)
+    nmse = m.evals["NMSE"][1][m.min_obj_ind]
+    assert nmse < 4.5 * floor["NMSE"], (nmse, floor["NMSE"])
+
+
+@pytest.mark.slow
 def test_kin8nm_self_calibration():
     """kin8nm's MNLP gap to the heteroscedastic Bayes floor is an accuracy
     gap, not a calibration gap: the self-calibration excess (intervals vs
