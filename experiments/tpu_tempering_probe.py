@@ -135,7 +135,40 @@ def main():
         "first_call_s": round(t_compile_and_run, 1),
         "backend": jax.default_backend(),
     }
+    # Convergence scoring (round 3): does replica exchange buy ESS/R-hat
+    # on the trig-multimodal posterior, per second, vs plain HMC at the
+    # same draw budget?  (bench_hmc measured plain-HMC R-hat ~ 6.8 at 100
+    # draws — chains stuck in separate basins.)
+    from scfgp_tpu.bayes.diagnostics import diagnose
+    d_t = diagnose(np.asarray(res.samples),
+                   int(getattr(res, "divergences", -1)))
+    out.update(max_rhat=round(d_t.max_rhat, 4),
+               min_ess_bulk=round(d_t.min_ess_bulk, 1),
+               min_ess_bulk_per_s=round(d_t.min_ess_bulk / dt, 3),
+               divergences=d_t.divergences)
     print(json.dumps({"tempered": out}), flush=True)
+
+    plain = jax.jit(lambda q, k: hmc_sample(
+        logpost, q, k, num_warmup=args.warmup, num_samples=args.samples,
+        num_integration_steps=16, init_step_size=0.003))
+    r0 = plain(jnp.asarray(warm), jax.random.PRNGKey(2))
+    float(r0.accept_rate)  # compile + readback
+    t0 = time.time()
+    r0 = plain(jnp.asarray(warm), jax.random.PRNGKey(3))
+    d_p = diagnose(np.asarray(r0.samples),
+                   int(getattr(r0, "divergences", -1)))
+    dt_p = time.time() - t0
+    plain_out = {
+        "draws_per_s": round(args.samples * args.chains / dt_p, 2),
+        "max_rhat": round(d_p.max_rhat, 4),
+        "min_ess_bulk": round(d_p.min_ess_bulk, 1),
+        "min_ess_bulk_per_s": round(d_p.min_ess_bulk / dt_p, 3),
+        "divergences": d_p.divergences,
+        "accept_rate": round(float(r0.accept_rate), 3),
+    }
+    print(json.dumps({"plain_hmc_same_budget": plain_out}), flush=True)
+    out["plain_hmc_same_budget"] = plain_out
+
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "results", "hmc")
     os.makedirs(outdir, exist_ok=True)
