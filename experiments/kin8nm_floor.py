@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-exact-gp", action="store_true")
+    ap.add_argument("--nfeats", type=int, default=512)
+    ap.add_argument("--k", type=int, default=8,
+                    help="ensemble restarts (mix_best = k // 2)")
+    ap.add_argument("--max-iter", type=int, default=800)
+    ap.add_argument("--out", default="kin8nm_floor.json")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -73,24 +78,27 @@ def main():
                                  + 0.5 * np.log(2 * np.pi * std ** 2)))
             record(f"exact_gp_ntr{ntr}", nmse, mnlp, time.time() - t0)
 
+    mfeat = args.nfeats
     t0 = time.time()
-    m1 = SCFGP(sparsity=20, nfeats=512, seed=args.seed, dtype=jnp.float32)
+    m1 = SCFGP(sparsity=20, nfeats=mfeat, seed=args.seed, dtype=jnp.float32)
     m1.fit_fast(Xt, yt, Xv, yv, obj="SCORE", max_iter=500, cvrg_tol=1e-5,
                 max_cvrg=30)
-    record("scfgp_m512", m1.evals["NMSE"][1][m1.min_obj_ind],
+    record(f"scfgp_m{mfeat}", m1.evals["NMSE"][1][m1.min_obj_ind],
            m1.evals["MNLP"][1][m1.min_obj_ind], time.time() - t0)
 
     t0 = time.time()
-    m2 = SCFGP(sparsity=20, nfeats=512, seed=args.seed, dtype=jnp.float32)
-    m2.fit_ensemble(Xt, yt, Xv, yv, k=8, mix_best=4, obj="SCORE",
-                    max_iter=800, cvrg_tol=1e-5, max_cvrg=40)
-    record("scfgp_ensemble_k8_m512", m2.evals["NMSE"][1][m2.min_obj_ind],
+    m2 = SCFGP(sparsity=20, nfeats=mfeat, seed=args.seed, dtype=jnp.float32)
+    m2.fit_ensemble(Xt, yt, Xv, yv, k=args.k, mix_best=args.k // 2,
+                    obj="SCORE", max_iter=args.max_iter, cvrg_tol=1e-5,
+                    max_cvrg=40)
+    record(f"scfgp_ensemble_k{args.k}_m{mfeat}",
+           m2.evals["NMSE"][1][m2.min_obj_ind],
            m2.evals["MNLP"][1][m2.min_obj_ind], time.time() - t0)
 
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "results", "kin8nm_floor")
     os.makedirs(outdir, exist_ok=True)
-    with open(os.path.join(outdir, "kin8nm_floor.json"), "w") as f:
+    with open(os.path.join(outdir, args.out), "w") as f:
         json.dump(rows, f, indent=2)
     print(json.dumps(rows))
 
