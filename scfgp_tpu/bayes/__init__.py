@@ -10,3 +10,4 @@ from .tempering import (tempered_hmc_sample, geometric_ladder,
                         TemperedHMCResult)
 from .diagnostics import (split_rhat, ess_bulk, ess_tail, ess_mean,
                           diagnose, Diagnostics)
+from .sgld import (sgld_sample, make_minibatch_value_and_grad, SGLDResult)

@@ -24,7 +24,8 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
                       include_phases: bool = False,
                       phases=None,
                       streaming_block: int = 0,
-                      basis_fn=None):
+                      basis_fn=None,
+                      n_scale: int | None = None):
     """log p(theta | data) up to a constant: -(nlml + penalty)/2.
 
     The reference's training cost is (nlml + penalty)/N (``reference:
@@ -44,8 +45,14 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
     millions) — each leapfrog gradient rematerializes Phi blockwise.  Data
     parallelism composes the same way as training: ``jax.device_put`` X/y
     with a row sharding and XLA reduces the block sums across chips.
+
+    ``n_scale`` overrides the N in ``-0.5 * N * cost``: pass the FULL
+    dataset size while handing this function a minibatch of rows to build
+    the N-scaled stochastic estimator SGLD steps on (``bayes/sgld.py``) —
+    the same scaled-minibatch semantics as the reference's own
+    ``nbatches > 1`` training path (``reference: SCFGP/SCFGP.py:226-235``).
     """
-    n = X.shape[0]
+    n = X.shape[0] if n_scale is None else int(n_scale)
 
     if streaming_block:
         from ..ops.streaming import loss_fn_streaming

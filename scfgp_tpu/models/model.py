@@ -315,10 +315,10 @@ _BAYES_RUNNERS: dict = {}
 
 def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
                   num_samples, num_integration_steps, init_step_size, depth,
-                  target_accept):
+                  target_accept, batch_size=0, step_decay=0.0, thin=1):
     key = (sampler, D, S, M, streaming_block, basis_fn, num_warmup,
            num_samples, num_integration_steps, init_step_size, depth,
-           target_accept)
+           target_accept, batch_size, step_decay, thin)
     run = _BAYES_RUNNERS.get(key)
     if run is None:
         from ..bayes import (hmc_sample, nuts_sample_static,
@@ -351,6 +351,17 @@ def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
                 return vi_posterior_sample(
                     make_lp(X, y), q, k, num_warmup=num_warmup,
                     num_samples=num_samples)
+        elif sampler == "sgld":
+            from ..bayes import make_minibatch_value_and_grad, sgld_sample
+
+            def run_impl(q, k, X, y):
+                vgf = make_minibatch_value_and_grad(
+                    X, y, D, S, M, batch_size, basis_fn=basis_fn,
+                    streaming_block=streaming_block)
+                return sgld_sample(
+                    vgf, q, k, num_warmup=num_warmup,
+                    num_samples=num_samples, step_size=init_step_size,
+                    step_decay=step_decay, thin=thin)
         else:  # tempered: the ladder is data-dependent, so it is traced too
             def run_impl(q, k, X, y, betas):
                 return tempered_hmc_sample(
@@ -901,7 +912,8 @@ class SCFGP:
                   num_samples: int = 200, num_integration_steps: int = 16,
                   init_step_size: float = 0.003, depth: int = 5,
                   betas=None, thin: int = 1, streaming_block: int = 0,
-                  max_rungs: int = 32, target_accept: float = 0.8):
+                  max_rungs: int = 32, target_accept: float = 0.8,
+                  batch_size: int = 0, step_decay: float = 0.0):
         """One-call Bayesian fit: chain-parallel sampling over the
         hyperparameter posterior + posterior-predictive mixing.
 
@@ -918,7 +930,14 @@ class SCFGP:
             (``bayes/tempering.py``; SURVEY.md §7.2),
           * ``"vi"`` — mean-field Gaussian VI (``num_warmup`` = ELBO steps,
             then ``num_samples x chains`` reparameterized draws;
-            ``bayes/vi.py``).
+            ``bayes/vi.py``),
+          * ``"sgld"`` — preconditioned stochastic-gradient Langevin
+            (``bayes/sgld.py``): O(batch) per step via ``batch_size``
+            (0 = full-batch ULA, composable with ``streaming_block``);
+            ``init_step_size`` is the Langevin eps (1e-5 … 1e-3 with the
+            default pSGLD preconditioner), ``step_decay`` the polynomial
+            decay power, ``thin`` applied on-device inside the scan.
+            ``num_integration_steps`` is ignored.
 
         Sampling runs in the phase-free reduced space (phases are pure
         gauge — see ``bayes/predictive.py::make_logposterior``).
@@ -936,9 +955,9 @@ class SCFGP:
 
         self.set_data(X, y)
         self._bayes_streaming_block = int(streaming_block)
-        if sampler not in ("hmc", "nuts", "tempered", "vi"):
+        if sampler not in ("hmc", "nuts", "tempered", "vi", "sgld"):
             raise ValueError(
-                f"unknown sampler '{sampler}' (hmc|nuts|tempered|vi)")
+                f"unknown sampler '{sampler}' (hmc|nuts|tempered|vi|sgld)")
         P = reduced_dim(self.D, self.S, self.M)
         keys = jax.random.split(
             jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1)), chains)
@@ -958,6 +977,12 @@ class SCFGP:
                    num_integration_steps=num_integration_steps,
                    init_step_size=float(init_step_size), depth=depth,
                    target_accept=float(target_accept))
+        if sampler == "sgld":
+            # SGLD thins on-device inside the scan (num_samples = KEPT
+            # draws); the common host-side thinning below must not re-thin.
+            cfg.update(batch_size=int(batch_size),
+                       step_decay=float(step_decay), thin=max(thin, 1))
+            thin = 1
 
         if sampler == "tempered" and betas is None:
             # Ladder spacing needs std(E) in the TYPICAL SET, not at random
@@ -1004,7 +1029,8 @@ class SCFGP:
         self.bayes_diagnostics_wall = wall
         self.message("Bayes fit: %s accept=%.3f draws=%d wall=%.1fs %s "
                      "ess/s=%.1f" % (
-            sampler, float(res.accept_rate), self.thetas.shape[0], wall,
+            sampler, float(getattr(res, "accept_rate", float("nan"))),
+            self.thetas.shape[0], wall,
             self.bayes_diagnostics.summary(),
             self.bayes_diagnostics.min_ess_bulk / max(wall, 1e-9)))
         if self.bayes_diagnostics.max_rhat > 1.05:

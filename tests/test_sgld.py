@@ -1,0 +1,157 @@
+"""SGLD / pSGLD correctness: analytic targets, minibatch unbiasedness on a
+decomposable posterior, streaming == dense estimator, and the fit_bayes
+integration path (SURVEY.md §2.4 chain-parallel row; bayes/sgld.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scfgp_tpu.bayes import (make_minibatch_value_and_grad, sgld_sample)
+
+
+def _vg_of(logpdf):
+    f = jax.vmap(jax.value_and_grad(logpdf))
+    return lambda q, k: f(q)
+
+
+def test_sgld_recovers_isotropic_gaussian():
+    mu = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+
+    def lp(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    init = jnp.zeros((4, 4), jnp.float32)
+    res = sgld_sample(_vg_of(lp), init, jax.random.PRNGKey(0),
+                      num_warmup=500, num_samples=4000, step_size=0.05,
+                      preconditioner="none")
+    draws = np.asarray(res.samples).reshape(-1, 4)
+    assert int(res.nonfinite) == 0
+    np.testing.assert_allclose(draws.mean(axis=0), np.asarray(mu), atol=0.15)
+    # ULA at step eps has O(eps) variance bias — loose band.
+    np.testing.assert_allclose(draws.var(axis=0), np.ones(4), rtol=0.2)
+
+
+def test_psgld_adapts_to_anisotropic_scales():
+    sig2 = jnp.asarray([0.25, 1.0, 9.0, 25.0])
+
+    def lp(q):
+        return -0.5 * jnp.sum(q ** 2 / sig2)
+
+    init = jnp.zeros((4, 4), jnp.float32)
+    res = sgld_sample(_vg_of(lp), init, jax.random.PRNGKey(1),
+                      num_warmup=2000, num_samples=8000, step_size=0.05,
+                      preconditioner="rmsprop", precond_lambda=1e-3)
+    draws = np.asarray(res.samples).reshape(-1, 4)
+    assert int(res.nonfinite) == 0
+    # One shared step size must serve scales spanning 100x: the pSGLD
+    # metric G ~ sqrt(sig2) equalizes per-coordinate relaxation times
+    # (relaxation ~ sig2 / (eps * G) steps; unpreconditioned, the var-25
+    # coordinate would need ~500x this budget to mix).
+    np.testing.assert_allclose(draws.mean(axis=0), np.zeros(4), atol=2.0)
+    np.testing.assert_allclose(draws.var(axis=0), np.asarray(sig2),
+                               rtol=0.35)
+
+
+def test_minibatch_sgld_on_decomposable_posterior():
+    # Bayesian mean estimation: y_i ~ N(w, 1), prior w ~ N(0, 10^2).  The
+    # log posterior DECOMPOSES over rows, so the N-scaled minibatch
+    # gradient is exactly unbiased and SGLD must recover the conjugate
+    # posterior N(mu_post, var_post).
+    rng = np.random.RandomState(0)
+    n, w_true = 512, 1.7
+    yd = jnp.asarray(w_true + rng.randn(n), jnp.float32)
+    prior_var = 100.0
+    var_post = 1.0 / (n + 1.0 / prior_var)
+    mu_post = var_post * float(jnp.sum(yd))
+
+    def vg(q, key):
+        idx = jax.random.randint(key, (64,), 0, n)
+        yb = yd[idx]
+
+        def lp(w):
+            like = -0.5 * (n / 64.0) * jnp.sum((yb - w[0]) ** 2)
+            return like - 0.5 * w[0] ** 2 / prior_var
+        return jax.vmap(jax.value_and_grad(lp))(q)
+
+    init = jnp.zeros((4, 1), jnp.float32)
+    res = sgld_sample(vg, init, jax.random.PRNGKey(2), num_warmup=1000,
+                      num_samples=4000, step_size=2e-4,
+                      preconditioner="none")
+    draws = np.asarray(res.samples).reshape(-1)
+    assert int(res.nonfinite) == 0
+    assert abs(draws.mean() - mu_post) < 4 * np.sqrt(var_post)
+    # Minibatch-noise inflation is bounded at this step size.
+    assert var_post * 0.5 < draws.var() < var_post * 3.0
+
+
+def test_streaming_estimator_matches_dense():
+    from scfgp_tpu.bayes.predictive import reduced_dim
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.models.params import init_params, pack_params
+
+    D, S, M = 3, 4, 6
+    X, y = synthetic_gp_rff(n=160, d=D, s=S, m=M, noise_std=0.1, seed=0,
+                            dtype=np.float32)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+    P = reduced_dim(D, S, M)
+    q = jnp.stack([pack_params(init_params(
+        jax.random.PRNGKey(i), D, S, M, jnp.float32))[:P] for i in range(2)])
+    dense = make_minibatch_value_and_grad(X, y, D, S, M, batch_size=0)
+    stream = make_minibatch_value_and_grad(X, y, D, S, M, batch_size=0,
+                                           streaming_block=64)
+    k = jax.random.PRNGKey(0)
+    vd, gd = dense(q, k)
+    vs, gs = stream(q, k)
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vs), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_minibatch_estimator_shapes_and_scaling():
+    from scfgp_tpu.bayes import make_logposterior
+    from scfgp_tpu.bayes.predictive import reduced_dim
+    from scfgp_tpu.data.datasets import synthetic_gp_rff
+    from scfgp_tpu.models.params import init_params, pack_params
+
+    D, S, M = 3, 4, 6
+    X, y = synthetic_gp_rff(n=160, d=D, s=S, m=M, noise_std=0.1, seed=0,
+                            dtype=np.float32)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+    P = reduced_dim(D, S, M)
+    q = jnp.stack([pack_params(init_params(
+        jax.random.PRNGKey(i), D, S, M, jnp.float32))[:P] for i in range(3)])
+    vgf = make_minibatch_value_and_grad(X, y, D, S, M, batch_size=40)
+    vals, grads = vgf(q, jax.random.PRNGKey(0))
+    assert vals.shape == (3,) and grads.shape == (3, P)
+    assert np.isfinite(np.asarray(vals)).all()
+    assert np.isfinite(np.asarray(grads)).all()
+    # n_scale: a batch_size == n estimator must sit at the same order as
+    # the full logposterior (same N scaling), not the per-batch scale.
+    lp_full = make_logposterior(X, y, D, S, M)
+    full = float(jax.vmap(lp_full)(q)[0])
+    est = float(vals[0])
+    assert abs(est) > 0.1 * abs(full) and abs(est) < 10 * abs(full)
+
+
+@pytest.mark.slow
+def test_fit_bayes_sgld_end_to_end():
+    from scfgp_tpu import SCFGP
+
+    rng = np.random.RandomState(0)
+    X = rng.rand(300, 1) * 10
+    y = np.sin(X[:, 0]) * 2 + 0.1 * rng.randn(300) + 3
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    m.fit_bayes(X[:250], y[:250], X[250:], y[250:], sampler="sgld",
+                chains=4, num_warmup=300, num_samples=200,
+                init_step_size=1e-4, batch_size=64, thin=2)
+    assert m.thetas.shape[0] == 200 * 4
+    assert int(m.bayes_result.nonfinite) == 0
+    mu, std = m.predict_bayes(X[250:])
+    assert np.isfinite(np.asarray(mu)).all()
+    assert np.isfinite(np.asarray(std)).all()
+    assert float(np.asarray(std).min()) > 0
+    nmse = float(np.mean((np.asarray(mu)[:, 0] - y[250:]) ** 2)
+                 / np.var(y[250:]))
+    assert nmse < 1.0  # posterior-predictive is informative, not prior-wide
