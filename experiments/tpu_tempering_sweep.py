@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--sparsity", type=int, default=20)
     ap.add_argument("--nfeats", type=int, default=50)
     ap.add_argument("--beta-min", type=float, default=0.6)
+    ap.add_argument("--max-rungs", type=int, default=24,
+                    help="ladder cap; the 48-rung fused program at dim 1163 "
+                         "crashed the TPU worker once — keep it bounded")
     ap.add_argument("--warmup", type=int, default=100)
     ap.add_argument("--base-samples", type=int, default=100)
     ap.add_argument("--big-samples", type=int, default=400)
@@ -103,7 +106,10 @@ def main():
     def run_tempered(gap, samples, tag):
         betas = energy_matched_ladder(
             logpost, ladder_pos, beta_min=args.beta_min,
-            target_gap=gap, max_rungs=48)
+            target_gap=gap, max_rungs=args.max_rungs)
+        print(json.dumps({"leg": tag, "rungs_planned": int(betas.shape[0]),
+                          "beta_last": round(float(betas[-1]), 4)}),
+              flush=True)
         run = jax.jit(lambda q, k: tempered_hmc_sample(
             logpost, q, k, betas=betas, num_warmup=args.warmup,
             num_samples=samples, num_integration_steps=16,
