@@ -63,6 +63,17 @@ def _leapfrog_1(ld_grad, z, r, eps_signed, inv_mass):
     return z, r, ld
 
 
+def _leapfrog_1_cached(ld_grad, z, r, g, eps_signed, inv_mass):
+    """One leapfrog step reusing the cached gradient at z (the previous
+    step's endpoint gradient — see ``hmc.leapfrog``): ONE new gradient per
+    leaf instead of two.  Returns the new ``(z, r, ld, g)``."""
+    r = r + 0.5 * eps_signed * g
+    z = z + eps_signed * inv_mass * r
+    ld, g = ld_grad(z)
+    r = r + 0.5 * eps_signed * g
+    return z, r, ld, g
+
+
 def _is_turning(sum_r, r_a, r_b, inv_mass):
     return jnp.logical_or(
         jnp.sum(sum_r * inv_mass * r_a) <= 0.0,
@@ -373,11 +384,16 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
     k_mom, k_loop = jax.random.split(key)
     mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
     r0 = jax.random.normal(k_mom, z0.shape, z0.dtype) * mass_sqrt
-    ld0, _ = ld_grad(z0)
+    ld0, g0 = ld_grad(z0)
     h0 = -ld0 + 0.5 * jnp.sum(r0 * r0 * inv_mass)
 
     dt = z0.dtype
     z_minus, r_minus, z_plus, r_plus = z0, r0, z0, r0
+    # Cached endpoint gradients (see hmc.leapfrog): each subtree starts
+    # from a trajectory edge whose gradient is already known, so every
+    # leaf costs ONE new gradient — 2^depth grads per transition instead
+    # of 2*(2^depth - 1) + 1.
+    g_minus, g_plus = g0, g0
     z_prop, ld_prop = z0, ld0.astype(dt)
     log_w = jnp.zeros((), dt)          # initial point carries weight 1
     sum_acc = jnp.zeros((), dt)
@@ -385,8 +401,9 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
     diverged = jnp.bool_(False)
 
     def leaf(carry, kleaf):
-        z, r, log_w_s, z_p, ld_p, sum_a, div, eps_signed = carry
-        z, r, ld = _leapfrog_1(ld_grad, z, r, eps_signed, inv_mass)
+        z, r, g, log_w_s, z_p, ld_p, sum_a, div, eps_signed = carry
+        z, r, ld, g = _leapfrog_1_cached(ld_grad, z, r, g, eps_signed,
+                                         inv_mass)
         energy = -ld + 0.5 * jnp.sum(r * r * inv_mass)
         delta = energy - h0
         diverging = jnp.logical_or(~jnp.isfinite(delta),
@@ -398,7 +415,7 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
         take = jnp.log(jax.random.uniform(kleaf)) < (log_w_leaf - log_w_new)
         z_p = jnp.where(take, z, z_p)
         ld_p = jnp.where(take, ld.astype(dt), ld_p)
-        return (z, r, log_w_new, z_p, ld_p, sum_a + accept,
+        return (z, r, g, log_w_new, z_p, ld_p, sum_a + accept,
                 jnp.logical_or(div, diverging), eps_signed), None
 
     for j in range(depth):  # static unroll over doublings
@@ -407,12 +424,13 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
         eps_signed = jnp.where(go_right, eps, -eps)
         edge_z = jnp.where(go_right, z_plus, z_minus)
         edge_r = jnp.where(go_right, r_plus, r_minus)
+        edge_g = jnp.where(go_right, g_plus, g_minus)
 
-        init = (edge_z, edge_r, jnp.asarray(-jnp.inf, dt), edge_z,
+        init = (edge_z, edge_r, edge_g, jnp.asarray(-jnp.inf, dt), edge_z,
                 jnp.asarray(-jnp.inf, dt), jnp.zeros((), dt), diverged,
                 eps_signed)
-        (z_end, r_end, log_w_s, z_ps, ld_ps, sum_a, diverged, _), _ = \
-            jax.lax.scan(leaf, init, jax.random.split(k_sub, 1 << j))
+        (z_end, r_end, g_end, log_w_s, z_ps, ld_ps, sum_a, diverged, _), \
+            _ = jax.lax.scan(leaf, init, jax.random.split(k_sub, 1 << j))
 
         # Biased progressive merge of the new subtree (as in NUTS).
         take = jnp.log(jax.random.uniform(k_merge)) < (log_w_s - log_w)
@@ -423,8 +441,10 @@ def _static_transition(ld_grad, z0, key, eps, inv_mass, depth):
 
         z_plus = jnp.where(go_right, z_end, z_plus)
         r_plus = jnp.where(go_right, r_end, r_plus)
+        g_plus = jnp.where(go_right, g_end, g_plus)
         z_minus = jnp.where(go_right, z_minus, z_end)
         r_minus = jnp.where(go_right, r_minus, r_end)
+        g_minus = jnp.where(go_right, g_minus, g_end)
 
     accept_stat = sum_acc / ((1 << depth) - 1)
     return z_prop, ld_prop, accept_stat, diverged
@@ -439,7 +459,8 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
 
     Same warmup adaptation as ``nuts_sample`` (cross-chain dual averaging +
     Welford mass); every transition costs exactly ``2^depth - 1`` leapfrog
-    steps, so per-chain work is static — the whole run is one XLA program of
+    steps = ``2^depth`` gradient evaluations (edge-gradient caching — see
+    ``hmc.leapfrog``), so per-chain work is static — one XLA program of
     nested ``lax.scan``s, the same program shape as the fused HMC sampler
     that the remote TPU compiler already handles (docs/RESULTS.md)."""
     C, P = init_positions.shape

@@ -153,22 +153,24 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
         k1, k2 = jax.random.split(key)
         mass_sqrt = 1.0 / jnp.sqrt(inv_mass)                     # (T, P)
         p0 = jax.random.normal(k1, q.shape, dtype) * mass_sqrt[:, None, :]
-        ld0, _ = base_vg(q)                                      # (T, C)
+        ld0, g0 = base_vg(q)                                     # (T, C)
         h0 = -betas[:, None] * ld0 + kinetic(p0, inv_mass)
         e = eps[:, None, None]
 
+        # Gradient-cached leapfrog (see hmc.leapfrog): the second
+        # half-kick's gradient doubles as the next step's first — L+1
+        # untempered gradient batches per trajectory instead of 2L+2.
         def leap(carry, _):
-            qq, pp = carry
-            _, g = base_vg(qq)
+            qq, pp, g = carry
             pp = pp + 0.5 * e * betas[:, None, None] * g
             qq = qq + e * inv_mass[:, None, :] * pp
-            _, g = base_vg(qq)
+            ld, g = base_vg(qq)
             pp = pp + 0.5 * e * betas[:, None, None] * g
-            return (qq, pp), None
+            return (qq, pp, g), ld
 
-        (q1, p1), _ = jax.lax.scan(leap, (q, p0), None,
-                                   length=num_integration_steps)
-        ld1, _ = base_vg(q1)
+        (q1, p1, _), lds = jax.lax.scan(leap, (q, p0, g0), None,
+                                        length=num_integration_steps)
+        ld1 = lds[-1]
         h1 = -betas[:, None] * ld1 + kinetic(p1, inv_mass)
         delta = h1 - h0
         div = jnp.logical_or(~jnp.isfinite(delta), delta > MAX_DELTA_ENERGY)
