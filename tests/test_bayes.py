@@ -323,3 +323,34 @@ def test_hmc_over_data_sharded_rows():
         init, jax.random.PRNGKey(7))
     assert np.isfinite(np.asarray(res.samples)).all()
     assert float(res.accept_rate) > 0.2
+
+
+def test_cached_leapfrog_matches_naive_integrator():
+    """The gradient-cached leapfrog (hmc.leapfrog) must produce the SAME
+    trajectory as the textbook two-gradients-per-step integrator — the 2x
+    saving is pure reuse, not an approximation."""
+    from scfgp_tpu.bayes.hmc import leapfrog
+
+    vg = jax.vmap(jax.value_and_grad(gauss_logpdf))
+    q0 = _init(chains=4, seed=3)
+    p0 = jnp.asarray(np.random.RandomState(4).randn(4, 3), jnp.float32)
+    inv_mass = jnp.asarray([0.5, 1.0, 2.0], jnp.float32)
+    eps = 0.05
+
+    def naive(q, p, num_steps):
+        for _ in range(num_steps):
+            _, g = vg(q)
+            p = p + 0.5 * eps * g
+            q = q + eps * inv_mass[None, :] * p
+            _, g = vg(q)
+            p = p + 0.5 * eps * g
+        return q, p
+
+    q1, p1, ld1 = leapfrog(vg, q0, p0, eps, inv_mass, 8)
+    qn, pn = naive(q0, p0, 8)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(qn), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(pn), rtol=1e-6)
+    # The returned final log density is the endpoint's, free of charge.
+    np.testing.assert_allclose(np.asarray(ld1),
+                               np.asarray(jax.vmap(gauss_logpdf)(q1)),
+                               rtol=1e-5)
