@@ -913,7 +913,9 @@ class SCFGP:
                   init_step_size: float = 0.003, depth: int = 5,
                   betas=None, thin: int = 1, streaming_block: int = 0,
                   max_rungs: int = 32, target_accept: float = 0.8,
-                  batch_size: int = 0, step_decay: float = 0.0):
+                  batch_size: int = 0, step_decay: float = 0.0,
+                  chain_init: str = "random", map_iters: int = 200,
+                  init_jitter: float = 0.05):
         """One-call Bayesian fit: chain-parallel sampling over the
         hyperparameter posterior + posterior-predictive mixing.
 
@@ -939,6 +941,16 @@ class SCFGP:
             decay power, ``thin`` applied on-device inside the scan.
             ``num_integration_steps`` is ignored.
 
+        ``chain_init="map"`` warm-starts every chain at the trained MAP
+        (a ``fit_fast(max_iter=map_iters)`` point estimate) plus
+        per-chain Gaussian jitter of scale ``init_jitter`` — most of the
+        warmup budget then measures within-basin mixing instead of the
+        walk from a random init.  Tradeoff, stated plainly: on the
+        trig-multimodal posterior this concentrates chains in the MAP's
+        basin, so R-hat can look clean while other basins go unvisited —
+        use ``sampler="tempered"`` (or random inits + more chains) when
+        cross-basin mass matters.
+
         Sampling runs in the phase-free reduced space (phases are pure
         gauge — see ``bayes/predictive.py::make_logposterior``).
         ``streaming_block > 0`` uses the O(block)-memory objective so the
@@ -958,12 +970,21 @@ class SCFGP:
         if sampler not in ("hmc", "nuts", "tempered", "vi", "sgld"):
             raise ValueError(
                 f"unknown sampler '{sampler}' (hmc|nuts|tempered|vi|sgld)")
+        if chain_init not in ("random", "map"):
+            raise ValueError("chain_init must be 'random' or 'map'")
         P = reduced_dim(self.D, self.S, self.M)
         keys = jax.random.split(
             jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1)), chains)
-        init = jnp.stack([pack_params(
-            init_params(k, self.D, self.S, self.M, self.dtype))[:P]
-            for k in keys])
+        if chain_init == "map":
+            self.fit_fast(X, y, obj="COST", max_iter=map_iters)
+            theta_map = pack_params(self.params)[:P]
+            init = theta_map[None, :] + init_jitter * jax.random.normal(
+                keys[0], (chains, P), self.dtype)
+            self.set_data(X, y)  # fit_fast consumed the eval history slot
+        else:
+            init = jnp.stack([pack_params(
+                init_params(k, self.D, self.S, self.M, self.dtype))[:P]
+                for k in keys])
         skey = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
 
         # X/y are TRACED jit arguments (runners built in _bayes_runner):

@@ -155,3 +155,24 @@ def test_fit_bayes_sgld_end_to_end():
     nmse = float(np.mean((np.asarray(mu)[:, 0] - y[250:]) ** 2)
                  / np.var(y[250:]))
     assert nmse < 1.0  # posterior-predictive is informative, not prior-wide
+
+
+def test_fit_bayes_chain_init_map():
+    from scfgp_tpu import SCFGP
+
+    rng = np.random.RandomState(1)
+    X = rng.rand(200, 1) * 10
+    y = np.sin(X[:, 0]) + 0.1 * rng.randn(200)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m.fit_bayes(X, y, sampler="hmc", chains=4, num_warmup=30,
+                    num_samples=30, chain_init="map", map_iters=60)
+    assert m.thetas.shape == (30 * 4, 39)
+    draws = np.asarray(m.bayes_result.samples)
+    assert np.isfinite(draws).all()
+    mu, std = m.predict_bayes(X[:20])
+    assert np.isfinite(np.asarray(mu)).all()
+    with pytest.raises(ValueError):
+        m.fit_bayes(X, y, chain_init="banana")
