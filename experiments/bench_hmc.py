@@ -118,8 +118,10 @@ def main():
         # ESS is the headline: raw draws/s rewards a non-mixing sampler
         # (VERDICT r2 item 2) — a stuck chain posts the same throughput.
         ndiv = getattr(res, "divergences", None)
-        diag = diagnose(draws_np, None if ndiv is None else int(ndiv))
+        diag = diagnose(draws_np, None if ndiv is None else int(ndiv),
+                        logdensities=np.asarray(res.logdensities))
         results[name] = {
+            "rhat_logdensity": round(diag.rhat_logdensity, 4),
             "mode": mode,
             "samples_per_s": round(total_draws / dt, 2),
             "min_ess_bulk_per_s": round(diag.min_ess_bulk / dt, 2),

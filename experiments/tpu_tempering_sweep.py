@@ -123,8 +123,10 @@ def main():
         swap = float(r.swap_rate)
         dt = time.time() - t0
         d = diagnose(np.asarray(r.samples),
-                     int(getattr(r, "divergences", -1)))
+                     int(getattr(r, "divergences", -1)),
+                     logdensities=np.asarray(r.logdensities))
         leg = {"leg": tag, "kind": "tempered", "target_gap": gap,
+               "rhat_logdensity": round(d.rhat_logdensity, 4),
                "rungs": int(betas.shape[0]), "samples": samples,
                "swap_rate": round(swap, 4),
                "accept_rate": round(float(r.accept_rate), 3),
@@ -154,8 +156,10 @@ def main():
         acc = float(r.accept_rate)
         dt = time.time() - t0
         d = diagnose(np.asarray(r.samples),
-                     int(getattr(r, "divergences", -1)))
+                     int(getattr(r, "divergences", -1)),
+                     logdensities=np.asarray(r.logdensities))
         leg = {"leg": tag, "kind": "plain", "samples": samples,
+               "rhat_logdensity": round(d.rhat_logdensity, 4),
                "draws_per_s": round(samples * args.chains / dt, 2),
                "accept_rate": round(acc, 3),
                "max_rhat": round(d.max_rhat, 4),

@@ -201,25 +201,42 @@ class Diagnostics(NamedTuple):
     min_ess_tail: float
     num_draws: int             # total draws T*C
     divergences: int           # count over the sampling phase (-1 = unknown)
+    # Function-space scores (R-hat/ESS of the per-draw log density): the
+    # SCFGP posterior is invariant under feature sign flips/permutations
+    # (Phi's cos/sin pairs), so chains exploring symmetric images of the
+    # same region show coordinate R-hat >> 1 while every predictive
+    # quantity has mixed.  The log density is symmetry-invariant —
+    # coordinate R-hat high + log-density R-hat ~ 1 reads "symmetric or
+    # equal-density basins", not "stuck chains".  nan when the sampler
+    # provided no log densities.
+    rhat_logdensity: float = float("nan")
+    ess_bulk_logdensity: float = float("nan")
 
     @property
     def converged(self) -> bool:
         return bool(self.max_rhat <= 1.05)
 
     def summary(self) -> str:
+        fs = ("" if not np.isfinite(self.rhat_logdensity) else
+              " rhat_logdens=%.4f ess_logdens=%.1f" % (
+                  self.rhat_logdensity, self.ess_bulk_logdensity))
         return ("max_rhat=%.4f min_ess_bulk=%.1f min_ess_tail=%.1f "
-                "draws=%d divergences=%s" % (
+                "draws=%d divergences=%s%s" % (
                     self.max_rhat, self.min_ess_bulk, self.min_ess_tail,
                     self.num_draws,
-                    self.divergences if self.divergences >= 0 else "n/a"))
+                    self.divergences if self.divergences >= 0 else "n/a",
+                    fs))
 
 
-def diagnose(samples, divergences: Optional[int] = None) -> Diagnostics:
+def diagnose(samples, divergences: Optional[int] = None,
+             logdensities=None) -> Diagnostics:
     """Full diagnostic pass over (T, C, P) draws (any array-like).
 
     Use ``min_ess_bulk / wall_seconds`` as the honest throughput metric
     (ESS/s); divergences, when the sampler reports them, count transitions
-    whose energy error exceeded the divergence threshold during sampling."""
+    whose energy error exceeded the divergence threshold during sampling.
+    ``logdensities`` (T, C), when given, adds the symmetry-invariant
+    function-space scores (see ``Diagnostics.rhat_logdensity``)."""
     x = np.asarray(samples, np.float64)
     if x.ndim == 2:
         x = x[:, :, None]
@@ -228,10 +245,17 @@ def diagnose(samples, divergences: Optional[int] = None) -> Diagnostics:
     rh = split_rhat(x)
     eb = ess_bulk(x)
     et = ess_tail(x)
+    rh_ld, ess_ld = float("nan"), float("nan")
+    if logdensities is not None:
+        ld = np.asarray(logdensities, np.float64)
+        if ld.ndim == 2 and ld.shape[0] >= 4:
+            rh_ld = float(split_rhat(ld[:, :, None])[0])
+            ess_ld = float(ess_bulk(ld[:, :, None])[0])
     return Diagnostics(
         rhat=rh, ess_bulk=eb, ess_tail=et,
         max_rhat=float(np.nanmax(rh)),
         min_ess_bulk=float(np.nanmin(eb)),
         min_ess_tail=float(np.nanmin(et)),
         num_draws=int(x.shape[0] * x.shape[1]),
-        divergences=int(divergences) if divergences is not None else -1)
+        divergences=int(divergences) if divergences is not None else -1,
+        rhat_logdensity=rh_ld, ess_bulk_logdensity=ess_ld)

@@ -1045,8 +1045,10 @@ class SCFGP:
         # independent by construction but scored identically for uniformity.
         from ..bayes.diagnostics import diagnose
         ndiv = getattr(res, "divergences", None)
+        lds = getattr(res, "logdensities", None)
         self.bayes_diagnostics = diagnose(
-            draws, None if ndiv is None else int(ndiv))
+            draws, None if ndiv is None else int(ndiv),
+            logdensities=None if lds is None else np.asarray(lds))
         self.bayes_diagnostics_wall = wall
         self.message("Bayes fit: %s accept=%.3f draws=%d wall=%.1fs %s "
                      "ess/s=%.1f" % (
@@ -1056,13 +1058,28 @@ class SCFGP:
             self.bayes_diagnostics.min_ess_bulk / max(wall, 1e-9)))
         if self.bayes_diagnostics.max_rhat > 1.05:
             import warnings
-            warnings.warn(
-                "fit_bayes(%s): max split-R-hat = %.3f > 1.05 — chains have "
-                "not mixed; posterior-predictive results are unreliable. "
-                "Increase num_warmup/num_samples or use sampler='tempered' "
-                "for multimodal posteriors." % (
-                    sampler, self.bayes_diagnostics.max_rhat),
-                stacklevel=2)
+            d = self.bayes_diagnostics
+            if np.isfinite(d.rhat_logdensity) and d.rhat_logdensity <= 1.05:
+                # Coordinate R-hat is confounded by the posterior's feature
+                # sign/permutation symmetries; the symmetry-invariant
+                # log-density trace HAS mixed — chains occupy symmetric or
+                # equal-density basins (Diagnostics.rhat_logdensity).
+                warnings.warn(
+                    "fit_bayes(%s): coordinate max split-R-hat = %.3f but "
+                    "log-density R-hat = %.3f <= 1.05 — chains are in "
+                    "symmetric/equal-density basins (gauge symmetry), not "
+                    "stuck; predictive mixing is likely fine, verify on "
+                    "held-out MNLP." % (
+                        sampler, d.max_rhat, d.rhat_logdensity),
+                    stacklevel=2)
+            else:
+                warnings.warn(
+                    "fit_bayes(%s): max split-R-hat = %.3f > 1.05 — chains "
+                    "have not mixed; posterior-predictive results are "
+                    "unreliable. Increase num_warmup/num_samples or use "
+                    "sampler='tempered' for multimodal posteriors." % (
+                        sampler, d.max_rhat),
+                    stacklevel=2)
         if Xv is not None and yv is not None:
             self.predict_bayes(Xv, yv)
             self.min_obj_ind = -1

@@ -139,3 +139,28 @@ def test_nuts_static_divergence_field():
                              init_step_size=0.2)
     assert int(res.divergences) == 0
     assert diagnose(np.asarray(res.samples)).max_rhat < 1.1
+
+
+def test_function_space_rhat_separates_symmetry_from_stuck():
+    """Two chains at mirrored modes of a symmetric target: coordinate
+    R-hat must flag the disagreement, but the symmetry-invariant
+    log-density R-hat must read converged (Diagnostics.rhat_logdensity) —
+    the 'symmetric basins, not stuck chains' reading fit_bayes warns
+    with."""
+    rng = np.random.RandomState(0)
+    t = 500
+    a = 3.0 + 0.5 * rng.randn(t)      # chain 1 at +3
+    b = -3.0 + 0.5 * rng.randn(t)     # chain 2 at -3 (mirror image)
+    x = np.stack([a, b], axis=1)[:, :, None]   # (T, C, 1)
+    # Symmetric bimodal target: logdensity identical in law across chains.
+    ld = np.stack([-0.5 * ((np.abs(a) - 3.0) / 0.5) ** 2,
+                   -0.5 * ((np.abs(b) - 3.0) / 0.5) ** 2], axis=1)
+    d = diagnose(x, logdensities=ld)
+    assert d.max_rhat > 1.5            # coordinates disagree hard
+    assert d.rhat_logdensity < 1.05    # function space has mixed
+    assert np.isfinite(d.ess_bulk_logdensity)
+    assert "rhat_logdens" in d.summary()
+    # Without logdensities the new fields stay nan and summary is stable.
+    d2 = diagnose(x)
+    assert not np.isfinite(d2.rhat_logdensity)
+    assert "rhat_logdens" not in d2.summary()
