@@ -41,9 +41,14 @@ def main():
     ap.add_argument("--sparsity", type=int, default=20)
     ap.add_argument("--nfeats", type=int, default=50)
     ap.add_argument("--beta-min", type=float, default=0.6)
-    ap.add_argument("--max-rungs", type=int, default=24,
-                    help="ladder cap; the 48-rung fused program at dim 1163 "
-                         "crashed the TPU worker once — keep it bounded")
+    ap.add_argument("--max-rungs", type=int, default=12,
+                    help="ladder cap: the fused replica-exchange program "
+                         "killed the TPU worker at 48 AND 24 rungs x 8 "
+                         "chains x dim 1163 (T*C vmap width 384/192); the "
+                         "round-2-proven width was 128 (16 rungs, dim 383) "
+                         "— 12 x 8 = 96 stays under it")
+    ap.add_argument("--no-reuse-warm", action="store_true",
+                    help="ignore any cached pre-warmup positions")
     ap.add_argument("--warmup", type=int, default=100)
     ap.add_argument("--base-samples", type=int, default=100)
     ap.add_argument("--big-samples", type=int, default=400)
@@ -84,6 +89,19 @@ def main():
                           "warmup": args.warmup, "beta_min": args.beta_min,
                           "backend": jax.default_backend()},
                "legs": []}
+    # Crash-resume: keep legs a previous (crashed) run already measured.
+    if os.path.exists(outpath):
+        try:
+            with open(outpath) as f:
+                prev = json.load(f)
+            if prev.get("config", {}).get("dim") == P:
+                results["legs"] = prev.get("legs", [])
+                print(json.dumps({"resumed_legs":
+                                  [l["leg"] for l in results["legs"]]}),
+                      flush=True)
+        except Exception:
+            pass
+    done_tags = {l["leg"] for l in results["legs"]}
 
     def save():
         with open(outpath, "w") as f:
@@ -91,19 +109,32 @@ def main():
 
     # Shared pre-warmup: reach the typical set once; ladder positions from
     # the pooled (cross-basin) energy scale, per the round-2 measurement.
-    pre = jax.jit(lambda q, k: hmc_sample(
-        logpost, q, k, num_warmup=100, num_samples=16,
-        num_integration_steps=16, init_step_size=0.003))
-    t0 = time.time()
-    res = pre(init, jax.random.PRNGKey(1))
-    warm_draws = np.asarray(res.samples)            # (16, C, P) readback
+    # Cached to disk: a TPU-worker crash mid-sweep (seen twice at large
+    # rung counts) would otherwise cost the 6-10 min warmup compile again.
+    warm_path = os.path.join(outdir, f"tempering_warm_{args.n}_{P}.npz")
+    if os.path.exists(warm_path) and not args.no_reuse_warm:
+        warm_draws = np.load(warm_path)["warm_draws"]
+        print(json.dumps({"pre_warmup": "cached", "path": warm_path}),
+              flush=True)
+    else:
+        pre = jax.jit(lambda q, k: hmc_sample(
+            logpost, q, k, num_warmup=100, num_samples=16,
+            num_integration_steps=16, init_step_size=0.003))
+        t0 = time.time()
+        res = pre(init, jax.random.PRNGKey(1))
+        warm_draws = np.asarray(res.samples)        # (16, C, P) readback
+        np.savez_compressed(warm_path, warm_draws=warm_draws)
+        print(json.dumps({"pre_warmup_s": round(time.time() - t0, 1),
+                          "accept": round(float(res.accept_rate), 3)}),
+              flush=True)
     warm = jnp.asarray(warm_draws[-1])
-    print(json.dumps({"pre_warmup_s": round(time.time() - t0, 1),
-                      "accept": round(float(res.accept_rate), 3)}),
-          flush=True)
     ladder_pos = jnp.asarray(warm_draws.reshape(-1, P))
 
     def run_tempered(gap, samples, tag):
+        if tag in done_tags:
+            leg = next(l for l in results["legs"] if l["leg"] == tag)
+            print(json.dumps({"skipped_cached": tag}), flush=True)
+            return leg
         betas = energy_matched_ladder(
             logpost, ladder_pos, beta_min=args.beta_min,
             target_gap=gap, max_rungs=args.max_rungs)
@@ -144,6 +175,10 @@ def main():
         return leg
 
     def run_plain(samples, tag):
+        if tag in done_tags:
+            leg = next(l for l in results["legs"] if l["leg"] == tag)
+            print(json.dumps({"skipped_cached": tag}), flush=True)
+            return leg
         run = jax.jit(lambda q, k: hmc_sample(
             logpost, q, k, num_warmup=args.warmup, num_samples=samples,
             num_integration_steps=16, init_step_size=0.003))
