@@ -912,7 +912,7 @@ class SCFGP:
                   num_samples: int = 200, num_integration_steps: int = 16,
                   init_step_size: float = 0.003, depth: int = 5,
                   betas=None, thin: int = 1, streaming_block: int = 0,
-                  max_rungs: int = 32, target_accept: float = 0.8,
+                  max_rungs: int = 16, target_accept: float = 0.8,
                   batch_size: int = 0, step_decay: float = 0.0,
                   chain_init: str = "random", map_iters: int = 200,
                   init_jitter: float = 0.05):
@@ -929,7 +929,12 @@ class SCFGP:
             static variant (``bayes/nuts.py::nuts_sample_static``),
           * ``"tempered"`` — replica-exchange HMC with an energy-matched
             ladder for the trig-multimodal posterior
-            (``bayes/tempering.py``; SURVEY.md §7.2),
+            (``bayes/tempering.py``; SURVEY.md §7.2).  ``max_rungs``
+            defaults to the proven-stable 16: the fused T-rung program
+            batches T x chains posterior gradients per leapfrog step, and
+            widths ≥ 192 (24 rungs x 8 chains at dim 1163) crashed this
+            environment's TPU worker — raise it only with measured
+            headroom,
           * ``"vi"`` — mean-field Gaussian VI (``num_warmup`` = ELBO steps,
             then ``num_samples x chains`` reparameterized draws;
             ``bayes/vi.py``),
