@@ -141,10 +141,21 @@ def main():
         print(json.dumps({"leg": tag, "rungs_planned": int(betas.shape[0]),
                           "beta_last": round(float(betas[-1]), 4)}),
               flush=True)
-        run = jax.jit(lambda q, k: tempered_hmc_sample(
-            logpost, q, k, betas=betas, num_warmup=args.warmup,
-            num_samples=samples, num_integration_steps=16,
-            init_step_size=0.003))
+        # Segmented beyond 100 draws: single XLA executions past ~100 s
+        # crash this environment's TPU worker (three kernel faults —
+        # tempering.tempered_hmc_sample_segmented docstring).
+        from scfgp_tpu.bayes.tempering import tempered_hmc_sample_segmented
+        if samples > 100:
+            def run(q, k):
+                return tempered_hmc_sample_segmented(
+                    logpost, q, k, betas, num_warmup=args.warmup,
+                    num_samples=samples, segment=100,
+                    num_integration_steps=16, init_step_size=0.003)
+        else:
+            run = jax.jit(lambda q, k: tempered_hmc_sample(
+                logpost, q, k, betas=betas, num_warmup=args.warmup,
+                num_samples=samples, num_integration_steps=16,
+                init_step_size=0.003))
         t0 = time.time()
         r = run(warm, jax.random.PRNGKey(2))
         float(r.swap_rate)                          # readback: compile+run

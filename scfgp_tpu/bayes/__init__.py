@@ -5,8 +5,8 @@ from .nuts import (nuts_sample, nuts_sample_host_looped, nuts_sample_static,
 from .vi import (fit_vi, vi_sample, vi_posterior_sample, VIResult,
                  VISamplerResult)
 from .predictive import make_logposterior, predictive_mixture
-from .tempering import (tempered_hmc_sample, geometric_ladder,
-                        energy_matched_ladder,
+from .tempering import (tempered_hmc_sample, tempered_hmc_sample_segmented,
+                        geometric_ladder, energy_matched_ladder,
                         TemperedHMCResult)
 from .diagnostics import (split_rhat, ess_bulk, ess_tail, ess_mean,
                           diagnose, Diagnostics)

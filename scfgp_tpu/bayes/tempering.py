@@ -47,6 +47,11 @@ class TemperedHMCResult(NamedTuple):
     # hmc.MAX_DELTA_ENERGY).  None default — a jnp literal here would touch
     # the XLA backend at import time (see hmc.HMCResult).
     divergences: jax.Array = None
+    # (T, C, P) final positions of ALL rungs — the resume state for
+    # segmented runs (tempered_hmc_sample_segmented): this environment's
+    # tunneled TPU worker crashes on single XLA executions longer than
+    # ~100 s, so long tempered runs must be chunked.
+    final_positions: jax.Array = None
 
 
 def geometric_ladder(n_rungs: int, beta_min: float = 0.1,
@@ -112,9 +117,16 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
                         num_warmup: int = 500, num_samples: int = 500,
                         num_integration_steps: int = 16,
                         init_step_size: float = 0.01,
-                        target_accept: float = 0.8) -> TemperedHMCResult:
+                        target_accept: float = 0.8,
+                        init_all_rungs=None,
+                        adapted=None) -> TemperedHMCResult:
     """Replica-exchange HMC.  ``init_positions``: (C, P) cold-rung inits
-    (replicated across rungs); ``logdensity_fn``: (P,) -> scalar."""
+    (replicated across rungs); ``logdensity_fn``: (P,) -> scalar.
+
+    Continuation (for segmented runs): pass ``init_all_rungs`` (T, C, P)
+    from a previous result's ``final_positions`` and ``adapted =
+    (step_sizes, inv_mass)`` with ``num_warmup=0`` — adaptation is then
+    skipped and sampling continues the chain exactly."""
     C, P = init_positions.shape
     dtype = init_positions.dtype
     if betas is None:
@@ -207,7 +219,10 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
         functools.partial(da_update, target=target_accept))
     welford_add_v = jax.vmap(welford_add_batch)
 
-    q0 = jnp.broadcast_to(init_positions[None], (T, C, P)).astype(dtype)
+    if init_all_rungs is not None:
+        q0 = jnp.asarray(init_all_rungs, dtype)
+    else:
+        q0 = jnp.broadcast_to(init_positions[None], (T, C, P)).astype(dtype)
     da0 = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + x.shape),
                        da_init(init_step_size, dtype))
     wf0 = WelfordState(jnp.zeros((T,), dtype),
@@ -229,12 +244,16 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
     n_total = num_warmup + num_samples
     keys = jax.random.split(key, n_total)
     steps = jnp.arange(n_total)
-    (q, da, wf), _ = jax.lax.scan(
-        warmup_step, (q0, da0, wf0),
-        (keys[:num_warmup], steps[:num_warmup]))
-
-    eps = jnp.exp(da.log_eps_avg)
-    inv_mass = jax.vmap(welford_variance)(wf)
+    if adapted is not None:
+        q = q0
+        eps = jnp.asarray(adapted[0], dtype)
+        inv_mass = jnp.asarray(adapted[1], dtype)
+    else:
+        (q, da, wf), _ = jax.lax.scan(
+            warmup_step, (q0, da0, wf0),
+            (keys[:num_warmup], steps[:num_warmup]))
+        eps = jnp.exp(da.log_eps_avg)
+        inv_mass = jax.vmap(welford_variance)(wf)
 
     def sample_step(q_ld, inp):
         q, ld = q_ld
@@ -252,4 +271,67 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
     return TemperedHMCResult(
         samples=samples, logdensities=lds,
         accept_rate=jnp.mean(accs), swap_rate=jnp.mean(srates),
-        step_sizes=eps, inv_mass=inv_mass, divergences=jnp.sum(divs))
+        step_sizes=eps, inv_mass=inv_mass, divergences=jnp.sum(divs),
+        final_positions=q)
+
+
+def tempered_hmc_sample_segmented(logdensity_fn: Callable,
+                                  init_positions: jax.Array,
+                                  key: jax.Array, betas,
+                                  num_warmup: int = 100,
+                                  num_samples: int = 400,
+                                  segment: int = 100,
+                                  num_integration_steps: int = 16,
+                                  init_step_size: float = 0.01,
+                                  target_accept: float = 0.8,
+                                  jit: bool = True) -> TemperedHMCResult:
+    """Long tempered runs as a host loop of bounded XLA executions.
+
+    This environment's tunneled TPU worker crashes on single program
+    executions beyond ~100 s (three kernel faults at 24/48-rung and
+    400-draw tempered programs; 30 s programs run clean —
+    docs/RESULTS.md), so the production path for big draw budgets is
+    warmup+first-segment, then continuation segments from
+    ``final_positions`` with adaptation frozen.  Two compiled programs
+    total, any number of segments; the concatenated chain is identical in
+    law to one long run (the kernel is Markov and adaptation is frozen
+    after warmup — the only difference from one long scan is where the
+    RNG keys split)."""
+    import numpy as np
+
+    n_seg = -(-num_samples // segment)
+    first_fn = (jax.jit if jit else (lambda f: f))(
+        lambda q, k: tempered_hmc_sample(
+            logdensity_fn, q, k, betas=betas, num_warmup=num_warmup,
+            num_samples=segment,
+            num_integration_steps=num_integration_steps,
+            init_step_size=init_step_size, target_accept=target_accept))
+    first = first_fn(init_positions, jax.random.fold_in(key, 0))
+    cont = (jax.jit if jit else (lambda f: f))(
+        lambda q_all, k, eps, im: tempered_hmc_sample(
+            logdensity_fn, init_positions, k, betas=betas,
+            num_warmup=0, num_samples=segment,
+            num_integration_steps=num_integration_steps,
+            init_step_size=init_step_size, target_accept=target_accept,
+            init_all_rungs=q_all, adapted=(eps, im)))
+    samples = [np.asarray(first.samples)]
+    lds = [np.asarray(first.logdensities)]
+    accs, srates, divs = [float(first.accept_rate)], \
+        [float(first.swap_rate)], [int(first.divergences)]
+    q_all = first.final_positions
+    for s in range(1, n_seg):
+        r = cont(q_all, jax.random.fold_in(key, s), first.step_sizes,
+                 first.inv_mass)
+        samples.append(np.asarray(r.samples))   # readback bounds execution
+        lds.append(np.asarray(r.logdensities))
+        accs.append(float(r.accept_rate))
+        srates.append(float(r.swap_rate))
+        divs.append(int(r.divergences))
+        q_all = r.final_positions
+    return TemperedHMCResult(
+        samples=jnp.asarray(np.concatenate(samples)[:num_samples]),
+        logdensities=jnp.asarray(np.concatenate(lds)[:num_samples]),
+        accept_rate=jnp.asarray(np.mean(accs)),
+        swap_rate=jnp.asarray(np.mean(srates)),
+        step_sizes=first.step_sizes, inv_mass=first.inv_mass,
+        divergences=jnp.asarray(sum(divs)), final_positions=q_all)

@@ -354,3 +354,29 @@ def test_cached_leapfrog_matches_naive_integrator():
     np.testing.assert_allclose(np.asarray(ld1),
                                np.asarray(jax.vmap(gauss_logpdf)(q1)),
                                rtol=1e-5)
+
+
+def test_tempered_segmented_continues_the_chain():
+    """Segmented tempered runs (the bounded-execution production path for
+    this environment's TPU relay) must continue from final_positions with
+    frozen adaptation and deliver the full draw budget."""
+    from scfgp_tpu.bayes import tempered_hmc_sample_segmented
+    from scfgp_tpu.bayes.tempering import geometric_ladder
+
+    init = _init(chains=2, seed=5)
+    betas = geometric_ladder(4, beta_min=0.3)
+    res = tempered_hmc_sample_segmented(
+        gauss_logpdf, init, jax.random.PRNGKey(0), betas,
+        num_warmup=50, num_samples=30, segment=10,
+        num_integration_steps=8, init_step_size=0.2)
+    assert res.samples.shape == (30, 2, 3)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert res.final_positions.shape == (4, 2, 3)
+    assert float(res.accept_rate) > 0.3
+    # Segments share the first segment's adaptation (frozen after warmup).
+    assert res.step_sizes.shape == (4,)
+    # The concatenated chain still recovers the target's location.
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        draws.mean(axis=0), MEAN,
+        atol=float(4 * np.sqrt(np.max(np.diag(COV)) / 15)))
