@@ -915,7 +915,7 @@ class SCFGP:
                   max_rungs: int = 16, target_accept: float = 0.8,
                   batch_size: int = 0, step_decay: float = 0.0,
                   chain_init: str = "random", map_iters: int = 200,
-                  init_jitter: float = 0.05):
+                  init_jitter: float = 0.05, segment: int = 0):
         """One-call Bayesian fit: chain-parallel sampling over the
         hyperparameter posterior + posterior-predictive mixing.
 
@@ -1031,12 +1031,31 @@ class SCFGP:
                 max_rungs=max_rungs)
             init = wdraws[-1]  # warmed chains seed the cold rung
 
-        run = _bayes_runner(sampler, **cfg)
         t0 = time.time()
-        if sampler == "tempered":
+        if sampler == "tempered" and segment and segment < num_samples:
+            # Bounded-execution mode for long runs: this environment's TPU
+            # relay kills single XLA executions past ~100 s (CLAUDE.md);
+            # segments continue the chain exactly from final_positions.
+            # The data rides inside the compiled segment programs here
+            # (fine at experiment scale; for N >> 1e5 prefer
+            # streaming_block + smaller segments).
+            from ..bayes.tempering import tempered_hmc_sample_segmented
+            logpost_seg = make_logposterior(
+                self.X, self.y, self.D, self.S, self.M,
+                streaming_block=streaming_block, basis_fn=self.extra_basis)
+            res = tempered_hmc_sample_segmented(
+                logpost_seg, init, skey, jnp.asarray(betas, self.dtype),
+                num_warmup=num_warmup, num_samples=num_samples,
+                segment=int(segment),
+                num_integration_steps=num_integration_steps,
+                init_step_size=float(init_step_size),
+                target_accept=float(target_accept))
+        elif sampler == "tempered":
+            run = _bayes_runner(sampler, **cfg)
             res = run(init, skey, self.X, self.y,
                       jnp.asarray(betas, self.dtype))
         else:
+            run = _bayes_runner(sampler, **cfg)
             res = run(init, skey, self.X, self.y)
         draws = np.asarray(res.samples)  # host readback = honest clock end
         wall = time.time() - t0

@@ -176,3 +176,21 @@ def test_fit_bayes_chain_init_map():
     assert np.isfinite(np.asarray(mu)).all()
     with pytest.raises(ValueError):
         m.fit_bayes(X, y, chain_init="banana")
+
+
+def test_fit_bayes_tempered_segmented():
+    from scfgp_tpu import SCFGP
+
+    rng = np.random.RandomState(2)
+    X = rng.rand(200, 1) * 10
+    y = np.sin(X[:, 0]) + 0.1 * rng.randn(200)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m.fit_bayes(X, y, sampler="tempered", chains=2, num_warmup=20,
+                    num_samples=30, segment=10)
+    assert m.thetas.shape[0] == 30 * 2
+    assert np.isfinite(np.asarray(m.bayes_result.samples)).all()
+    mu, std = m.predict_bayes(X[:10])
+    assert np.isfinite(np.asarray(mu)).all()
