@@ -946,6 +946,11 @@ class SCFGP:
             decay power, ``thin`` applied on-device inside the scan.
             ``num_integration_steps`` is ignored.
 
+        ``segment > 0`` (tempered only) runs the draw budget as a host
+        loop of bounded device executions continuing exactly from
+        ``final_positions`` — required on TPU relays that kill single
+        executions past ~100 s (CLAUDE.md); two compiled programs total.
+
         ``chain_init="map"`` warm-starts every chain at the trained MAP
         (a ``fit_fast(max_iter=map_iters)`` point estimate) plus
         per-chain Gaussian jitter of scale ``init_jitter`` — most of the
