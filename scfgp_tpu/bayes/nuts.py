@@ -41,8 +41,10 @@ MAX_DELTA_ENERGY = 1000.0
 class _TreeState(NamedTuple):
     z_minus: jax.Array
     r_minus: jax.Array
+    g_minus: jax.Array      # cached gradient at z_minus (see hmc.leapfrog)
     z_plus: jax.Array
     r_plus: jax.Array
+    g_plus: jax.Array       # cached gradient at z_plus
     z_prop: jax.Array       # current multinomial proposal
     ld_prop: jax.Array      # its log density
     log_weight: jax.Array   # logsumexp of leaf weights in the trajectory
@@ -52,15 +54,6 @@ class _TreeState(NamedTuple):
     depth: jax.Array
     turning: jax.Array
     diverging: jax.Array
-
-
-def _leapfrog_1(ld_grad, z, r, eps_signed, inv_mass):
-    _, g = ld_grad(z)
-    r = r + 0.5 * eps_signed * g
-    z = z + eps_signed * inv_mass * r
-    ld, g = ld_grad(z)
-    r = r + 0.5 * eps_signed * g
-    return z, r, ld
 
 
 def _leapfrog_1_cached(ld_grad, z, r, g, eps_signed, inv_mass):
@@ -91,12 +84,14 @@ def _count_trailing_ones(n):
     return ((x * 0x01010101) >> 24) - 1  # popcount(2^(t+1)-1) = t+1
 
 
-def _build_subtree(ld_grad, edge_z, edge_r, depth, eps_signed, inv_mass, h0,
-                   key, max_depth):
+def _build_subtree(ld_grad, edge_z, edge_r, edge_g, depth, eps_signed,
+                   inv_mass, h0, key, max_depth):
     """Iteratively build a 2^depth-leaf subtree from (edge_z, edge_r).
 
-    Returns (ok, z_end, r_end, z_prop, ld_prop, log_weight, sum_r,
-    sum_accept, num_leaves).  ``ok`` is False on internal U-turn/divergence.
+    ``edge_g`` is the cached gradient at edge_z (one new gradient per
+    leaf — see hmc.leapfrog).  Returns (ok, z_end, r_end, g_end, z_prop,
+    ld_prop, log_weight, sum_r, sum_accept, num_leaves, diverged).
+    ``ok`` is False on internal U-turn/divergence.
     """
     P = edge_z.shape[0]
     num_leaves = jnp.int32(1) << depth
@@ -108,7 +103,7 @@ def _build_subtree(ld_grad, edge_z, edge_r, depth, eps_signed, inv_mass, h0,
     dt = edge_z.dtype
     init = dict(
         n=jnp.int32(0), sp=jnp.int32(0),
-        z=edge_z, r=edge_r, ld=jnp.zeros((), dt),
+        z=edge_z, r=edge_r, g=edge_g, ld=jnp.zeros((), dt),
         csum=jnp.zeros(P, edge_r.dtype),
         z_prop=edge_z, ld_prop=jnp.asarray(-jnp.inf, dt),
         log_w=jnp.asarray(-jnp.inf, dt),
@@ -121,7 +116,8 @@ def _build_subtree(ld_grad, edge_z, edge_r, depth, eps_signed, inv_mass, h0,
                                jnp.logical_not(s["bad"]))
 
     def body(s):
-        z, r, ld = _leapfrog_1(ld_grad, s["z"], s["r"], eps_signed, inv_mass)
+        z, r, ld, g = _leapfrog_1_cached(ld_grad, s["z"], s["r"], s["g"],
+                                         eps_signed, inv_mass)
         energy = -ld + 0.5 * jnp.sum(r * r * inv_mass)
         delta = energy - h0  # h0 = energy at trajectory start
         diverging = jnp.logical_or(~jnp.isfinite(delta),
@@ -163,7 +159,7 @@ def _build_subtree(ld_grad, edge_z, edge_r, depth, eps_signed, inv_mass, h0,
         sp = jnp.where(t > 0, sp - (t - 1), sp)
 
         bad = jnp.logical_or(diverging, turning)
-        return dict(n=n + 1, sp=sp, z=z, r=r, ld=ld, csum=csum,
+        return dict(n=n + 1, sp=sp, z=z, r=r, g=g, ld=ld, csum=csum,
                     z_prop=z_prop, ld_prop=ld_prop, log_w=log_w_new,
                     sum_acc=s["sum_acc"] + accept, r_ck=r_ck,
                     csum_ck=csum_ck, bad=bad,
@@ -171,8 +167,8 @@ def _build_subtree(ld_grad, edge_z, edge_r, depth, eps_signed, inv_mass, h0,
 
     out = jax.lax.while_loop(cond, body, init)
     ok = jnp.logical_not(out["bad"])
-    return (ok, out["z"], out["r"], out["z_prop"], out["ld_prop"],
-            out["log_w"], out["csum"], out["sum_acc"],
+    return (ok, out["z"], out["r"], out["g"], out["z_prop"],
+            out["ld_prop"], out["log_w"], out["csum"], out["sum_acc"],
             jnp.asarray(num_leaves, edge_z.dtype), out["div"])
 
 
@@ -182,12 +178,13 @@ def _nuts_transition(ld_grad, z0, key, eps, inv_mass, max_depth):
     k_mom, k_loop = jax.random.split(key)
     mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
     r0 = jax.random.normal(k_mom, (P,), z0.dtype) * mass_sqrt
-    ld0, _ = ld_grad(z0)
+    ld0, g0 = ld_grad(z0)
     h0 = -ld0 + 0.5 * jnp.sum(r0 * r0 * inv_mass)
 
     dt = z0.dtype
     tree = _TreeState(
-        z_minus=z0, r_minus=r0, z_plus=z0, r_plus=r0,
+        z_minus=z0, r_minus=r0, g_minus=g0, z_plus=z0, r_plus=r0,
+        g_plus=g0,
         z_prop=z0, ld_prop=ld0.astype(dt), log_weight=jnp.zeros((), dt),
         sum_r=r0, sum_accept=jnp.zeros((), dt), num_leaves=jnp.ones((), dt),
         depth=jnp.int32(0), turning=jnp.bool_(False),
@@ -206,18 +203,21 @@ def _nuts_transition(ld_grad, z0, key, eps, inv_mass, max_depth):
         eps_signed = jnp.where(go_right, eps, -eps)
         edge_z = jnp.where(go_right, tree.z_plus, tree.z_minus)
         edge_r = jnp.where(go_right, tree.r_plus, tree.r_minus)
+        edge_g = jnp.where(go_right, tree.g_plus, tree.g_minus)
 
-        (ok, z_end, r_end, z_prop_s, ld_prop_s, log_w_s, sum_r_s,
+        (ok, z_end, r_end, g_end, z_prop_s, ld_prop_s, log_w_s, sum_r_s,
          sum_acc_s, leaves_s, div_s) = _build_subtree(
-            ld_grad, edge_z, edge_r, tree.depth, eps_signed, inv_mass, h0,
-            k_sub, max_depth)
+            ld_grad, edge_z, edge_r, edge_g, tree.depth, eps_signed,
+            inv_mass, h0, k_sub, max_depth)
 
         # Merge only when the subtree is valid (multinomial NUTS: a broken
         # doubling is discarded wholesale and the trajectory ends).
         z_plus = jnp.where(go_right & ok, z_end, tree.z_plus)
         r_plus = jnp.where(go_right & ok, r_end, tree.r_plus)
+        g_plus = jnp.where(go_right & ok, g_end, tree.g_plus)
         z_minus = jnp.where((~go_right) & ok, z_end, tree.z_minus)
         r_minus = jnp.where((~go_right) & ok, r_end, tree.r_minus)
+        g_minus = jnp.where((~go_right) & ok, g_end, tree.g_minus)
 
         # Biased progressive sampling between old trajectory and subtree.
         take = jnp.log(jax.random.uniform(k_merge)) < (
@@ -233,7 +233,8 @@ def _nuts_transition(ld_grad, z0, key, eps, inv_mass, max_depth):
             ok, _is_turning(sum_r, r_minus, r_plus, inv_mass), tree.turning)
 
         new_tree = _TreeState(
-            z_minus=z_minus, r_minus=r_minus, z_plus=z_plus, r_plus=r_plus,
+            z_minus=z_minus, r_minus=r_minus, g_minus=g_minus,
+            z_plus=z_plus, r_plus=r_plus, g_plus=g_plus,
             z_prop=z_prop, ld_prop=ld_prop, log_weight=log_weight,
             sum_r=sum_r,
             sum_accept=tree.sum_accept + sum_acc_s.astype(tree.sum_accept.dtype),
