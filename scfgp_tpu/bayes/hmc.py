@@ -115,6 +115,15 @@ def leapfrog(logdensity_grad: Callable, position, momentum, eps, inv_mass,
 
     Returns ``(q, p, ld_final)``.
     """
+    if num_steps == 0:
+        # Degenerate identity trajectory (no scan output to index into);
+        # callers like a dynamic-L wrapper may legitimately request L=0.
+        if init_ld_grad is None:
+            ld0, _ = logdensity_grad(position)
+        else:
+            ld0, _ = init_ld_grad
+        return position, momentum, ld0
+
     if init_ld_grad is None:
         _, g0 = logdensity_grad(position)
     else:
@@ -143,6 +152,14 @@ class HMCResult(NamedTuple):
     # would initialise the XLA backend at import and break
     # jax.distributed.initialize (tests/test_multihost.py).
     divergences: jax.Array = None
+    # (chains, P) final chain positions — the resume point for segmented
+    # execution (bayes/segmented.py: this environment's TPU relay kills
+    # single XLA executions past ~100 s, CLAUDE.md).
+    final_positions: jax.Array = None
+    # (DualAveragingState, WelfordState) adaptation carry after the warmup
+    # steps this call ran — pass back via ``warmup_state=`` to continue
+    # warmup across bounded executions.  None when warmup was skipped.
+    warmup_state: tuple = None
 
 
 def make_hmc_transition(logdensity_fn: Callable, num_integration_steps: int):
@@ -228,10 +245,20 @@ def hmc_sample_host_looped(logdensity_fn: Callable,
 def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
                key: jax.Array, num_warmup: int = 500, num_samples: int = 500,
                num_integration_steps: int = 16, init_step_size: float = 0.01,
-               target_accept: float = 0.8) -> HMCResult:
+               target_accept: float = 0.8, adapted=None,
+               warmup_state=None) -> HMCResult:
     """Run C chains of HMC with shared warmup adaptation; fully jitted.
 
     ``init_positions``: (chains, P); ``logdensity_fn``: (P,) -> scalar.
+
+    Bounded-execution continuation (``bayes/segmented.py``): pass
+    ``adapted=(step_size, inv_mass)`` with ``num_warmup=0`` to skip
+    adaptation and continue sampling exactly from ``init_positions`` (use a
+    previous result's ``final_positions``); or ``warmup_state=(da, wf)``
+    from a previous result to CONTINUE warmup adaptation across chunks
+    (with ``num_samples=0`` for pure warmup chunks).  Chunked == one-shot
+    in law — the kernel is Markov and the adaptation carry is exact; only
+    the RNG key splits differ.
     """
     C, P = init_positions.shape
     vg = jax.vmap(jax.value_and_grad(logdensity_fn))
@@ -275,15 +302,24 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
 
     dtype = init_positions.dtype
     keys = jax.random.split(key, num_warmup + num_samples + 1)
-    wf0 = welford_init(P, dtype)
-    # Seed the mass estimate at unit variance until draws accumulate.
-    wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
-    (q, da, wf), _ = jax.lax.scan(
-        warmup_step, (init_positions, da_init(init_step_size, dtype), wf0),
-        keys[:num_warmup])
-
-    eps = jnp.exp(da.log_eps_avg)
-    inv_mass = welford_variance(wf)
+    out_warmup_state = None
+    if adapted is not None:
+        q = init_positions
+        eps = jnp.asarray(adapted[0], dtype)
+        inv_mass = jnp.asarray(adapted[1], dtype)
+    else:
+        if warmup_state is not None:
+            da0, wf0 = warmup_state
+        else:
+            da0 = da_init(init_step_size, dtype)
+            wf0 = welford_init(P, dtype)
+            # Seed the mass estimate at unit variance until draws accumulate.
+            wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
+        (q, da, wf), _ = jax.lax.scan(
+            warmup_step, (init_positions, da0, wf0), keys[:num_warmup])
+        out_warmup_state = (da, wf)
+        eps = jnp.exp(da.log_eps_avg)
+        inv_mass = welford_variance(wf)
 
     # -- sampling ------------------------------------------------------------
     def sample_step(q, key):
@@ -294,4 +330,5 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
         sample_step, q, keys[num_warmup:num_warmup + num_samples])
     return HMCResult(samples=samples, logdensities=lds,
                      accept_rate=jnp.mean(accs), step_size=eps,
-                     inv_mass=inv_mass, divergences=jnp.sum(divs))
+                     inv_mass=inv_mass, divergences=jnp.sum(divs),
+                     final_positions=q, warmup_state=out_warmup_state)

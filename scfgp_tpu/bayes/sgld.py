@@ -49,11 +49,21 @@ import jax.numpy as jnp
 
 class SGLDResult(NamedTuple):
     samples: jax.Array          # (num_samples, chains, P) thinned draws
-    logdensities: jax.Array     # (num_samples, chains) estimator values at
-    #                             kept draws (minibatch-noisy in batch mode)
+    logdensities: jax.Array     # (num_samples, chains) estimator values,
+    #                             minibatch-noisy in batch mode and lagged
+    #                             ONE step: value at the position the kept
+    #                             draw was stepped FROM (the gradient eval
+    #                             is pre-update; re-evaluating at the kept
+    #                             draw would double the per-draw cost at
+    #                             thin=1).  Fine for diagnostics traces.
     step_size: jax.Array        # () final step size after decay
     precond: jax.Array          # (P,) final preconditioner diagonal G
     nonfinite: jax.Array = None  # () count of non-finite proposals rejected
+    # (q, v, t, bad) full sampler carry — pass back via ``init_carry=`` to
+    # continue the chain exactly across bounded executions
+    # (bayes/segmented.py; the step-index t keeps the decay schedule and
+    # the RMSProp state v keeps the preconditioner).
+    final_carry: tuple = None
 
 
 def make_minibatch_value_and_grad(X, y, D, S, M, batch_size: int,
@@ -93,7 +103,8 @@ def sgld_sample(value_and_grad_fn: Callable, init_positions: jax.Array,
                 step_decay: float = 0.0, thin: int = 1,
                 preconditioner: str = "rmsprop",
                 precond_alpha: float = 0.99,
-                precond_lambda: float = 1e-5) -> SGLDResult:
+                precond_lambda: float = 1e-5,
+                init_carry: tuple = None) -> SGLDResult:
     """Run C chains of (p)SGLD; fully jitted, one scan.
 
     ``value_and_grad_fn(q, key) -> (vals (C,), grads (C, P))`` — from
@@ -102,7 +113,11 @@ def sgld_sample(value_and_grad_fn: Callable, init_positions: jax.Array,
     (Welling & Teh's polynomial schedule; 0.0 = constant, the common
     practical choice).  ``preconditioner``: "rmsprop" (pSGLD) or "none".
     Non-finite proposals are rejected in place (the chain keeps its current
-    position) and counted — the SGLD analog of HMC's divergence counter.
+    position) and counted — the SGLD analog of HMC's divergence counter —
+    and non-finite gradients are masked out of the shared preconditioner
+    update so one diverging chain cannot poison the metric for the rest.
+    Returned ``logdensities`` lag the kept draws by one step (see
+    ``SGLDResult``).
     """
     if preconditioner not in ("rmsprop", "none"):
         raise ValueError("preconditioner must be 'rmsprop' or 'none'")
@@ -126,7 +141,17 @@ def sgld_sample(value_and_grad_fn: Callable, init_positions: jax.Array,
             # Shared metric: mean squared gradient across chains keeps one
             # (P,) preconditioner (the cross-chain collective under a
             # sharded chain axis, like HMC's shared mass matrix).
-            v = alpha * v + (1.0 - alpha) * jnp.mean(grads * grads, axis=0)
+            # Non-finite gradients are masked OUT of the v update: the
+            # shared preconditioner must stay finite even when one chain
+            # diverges, else a single NaN gradient permanently poisons v
+            # and freezes ALL chains (every subsequent proposal non-finite
+            # and rejected) — reproduced on CPU, ADVICE r3 medium.
+            g_ok = jnp.all(jnp.isfinite(grads), axis=1)          # (C,)
+            g2 = jnp.where(g_ok[:, None], grads * grads, 0.0)
+            n_ok = jnp.sum(g_ok.astype(v.dtype))
+            v_upd = alpha * v + (1.0 - alpha) * (
+                jnp.sum(g2, axis=0) / jnp.maximum(n_ok, 1.0))
+            v = jnp.where(n_ok > 0, v_upd, v)
         g = precond_of(v)[None, :]
         eps = eps0 * (1.0 + t) ** (-jnp.asarray(step_decay, dtype))
         noise = jax.random.normal(kn, q.shape, dtype)
@@ -137,9 +162,14 @@ def sgld_sample(value_and_grad_fn: Callable, init_positions: jax.Array,
         return (q, v, t + 1.0, bad), (vals, eps)
 
     keys = jax.random.split(key, num_warmup + num_samples * thin)
-    v0 = jnp.zeros((P,), dtype)
-    carry = (init_positions, v0, jnp.zeros((), dtype),
-             jnp.zeros((), jnp.int32))
+    if init_carry is not None:
+        # Bounded-execution continuation (pass a previous result's
+        # final_carry with num_warmup=0): v/t/bad carry over exactly.
+        carry = init_carry
+    else:
+        v0 = jnp.zeros((P,), dtype)
+        carry = (init_positions, v0, jnp.zeros((), dtype),
+                 jnp.zeros((), jnp.int32))
     if num_warmup:
         carry, _ = jax.lax.scan(step, carry, keys[:num_warmup])
 
@@ -153,4 +183,4 @@ def sgld_sample(value_and_grad_fn: Callable, init_positions: jax.Array,
     q, v, _, bad = carry
     return SGLDResult(samples=samples, logdensities=lds,
                       step_size=epss[-1], precond=precond_of(v),
-                      nonfinite=bad)
+                      nonfinite=bad, final_carry=carry)

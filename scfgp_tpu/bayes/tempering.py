@@ -119,14 +119,18 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
                         init_step_size: float = 0.01,
                         target_accept: float = 0.8,
                         init_all_rungs=None,
-                        adapted=None) -> TemperedHMCResult:
+                        adapted=None, step_offset=0) -> TemperedHMCResult:
     """Replica-exchange HMC.  ``init_positions``: (C, P) cold-rung inits
     (replicated across rungs); ``logdensity_fn``: (P,) -> scalar.
 
     Continuation (for segmented runs): pass ``init_all_rungs`` (T, C, P)
     from a previous result's ``final_positions`` and ``adapted =
     (step_sizes, inv_mass)`` with ``num_warmup=0`` — adaptation is then
-    skipped and sampling continues the chain exactly."""
+    skipped and sampling continues the chain exactly.  ``step_offset``
+    (int scalar, traceable) shifts the global step index so the
+    deterministic even/odd swap-parity (DEO) alternation continues across
+    segment boundaries instead of restarting at even parity each segment
+    (ADVICE r3)."""
     C, P = init_positions.shape
     dtype = init_positions.dtype
     if betas is None:
@@ -243,7 +247,7 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
 
     n_total = num_warmup + num_samples
     keys = jax.random.split(key, n_total)
-    steps = jnp.arange(n_total)
+    steps = jnp.arange(n_total) + jnp.asarray(step_offset, jnp.int32)
     if adapted is not None:
         q = q0
         eps = jnp.asarray(adapted[0], dtype)
@@ -293,10 +297,12 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
     docs/RESULTS.md), so the production path for big draw budgets is
     warmup+first-segment, then continuation segments from
     ``final_positions`` with adaptation frozen.  Two compiled programs
-    total, any number of segments; the concatenated chain is identical in
-    law to one long run (the kernel is Markov and adaptation is frozen
-    after warmup — the only difference from one long scan is where the
-    RNG keys split)."""
+    total, any number of segments; the concatenated chain is a valid
+    continuation of the same chain — the kernel is Markov, adaptation is
+    frozen after warmup, and the global step index (hence the DEO swap
+    parity) is threaded across segment boundaries via ``step_offset`` —
+    the only difference in law from one long scan is where the RNG keys
+    split."""
     import numpy as np
 
     n_seg = -(-num_samples // segment)
@@ -308,12 +314,12 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
             init_step_size=init_step_size, target_accept=target_accept))
     first = first_fn(init_positions, jax.random.fold_in(key, 0))
     cont = (jax.jit if jit else (lambda f: f))(
-        lambda q_all, k, eps, im: tempered_hmc_sample(
+        lambda q_all, k, eps, im, off: tempered_hmc_sample(
             logdensity_fn, init_positions, k, betas=betas,
             num_warmup=0, num_samples=segment,
             num_integration_steps=num_integration_steps,
             init_step_size=init_step_size, target_accept=target_accept,
-            init_all_rungs=q_all, adapted=(eps, im)))
+            init_all_rungs=q_all, adapted=(eps, im), step_offset=off))
     samples = [np.asarray(first.samples)]
     lds = [np.asarray(first.logdensities)]
     accs, srates, divs = [float(first.accept_rate)], \
@@ -321,7 +327,8 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
     q_all = first.final_positions
     for s in range(1, n_seg):
         r = cont(q_all, jax.random.fold_in(key, s), first.step_sizes,
-                 first.inv_mass)
+                 first.inv_mass,
+                 jnp.asarray(num_warmup + s * segment, jnp.int32))
         samples.append(np.asarray(r.samples))   # readback bounds execution
         lds.append(np.asarray(r.logdensities))
         accs.append(float(r.accept_rate))

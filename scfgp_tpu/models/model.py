@@ -375,6 +375,41 @@ def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
     return run
 
 
+def _estimate_bayes_device_seconds(sampler, n_rows, two_k, chains, rungs,
+                                   num_warmup, num_samples, L, depth, thin,
+                                   batch_size):
+    """Crude CONSERVATIVE estimate of a fused sampler program's execution
+    time, used only to auto-engage segmented execution before the ~100 s
+    TPU worker-kill (CLAUDE.md).  Two regimes, take the max:
+
+      * FLOP-bound: value_and_grad of the posterior ~ 3x forward, forward
+        dominated by the 2*N*K^2 Gram -> ~6*N*K^2 flops per chain-gradient,
+        at an assumed 30 TFLOP/s sustained (~15% v5e MFU — bench.py
+        measured 17.7%; underestimating throughput over-segments, which is
+        the safe direction);
+      * latency-bound (small problems): ~0.15 ms per fused gradient batch.
+
+    An order-of-magnitude guard, not a profiler — exact within ~3x on the
+    round-3 measurements (e.g. fused HMC 355.8 draws/s at L=16 -> 0.165 ms
+    per gradient batch)."""
+    if sampler == "hmc":
+        ge_per_step = L + 1
+    elif sampler == "nuts":
+        ge_per_step = 2 ** depth
+    elif sampler == "tempered":
+        ge_per_step = L + 1
+    elif sampler == "sgld":
+        ge_per_step = 1
+    else:  # vi: num_warmup ELBO grad steps then cheap iid draws
+        ge_per_step = 1
+    steps = num_warmup + num_samples * max(thin, 1)
+    rows = batch_size if (sampler == "sgld" and batch_size) else n_rows
+    width = chains * (rungs if sampler == "tempered" else 1)
+    batches = steps * ge_per_step
+    flops = batches * width * 6.0 * rows * float(two_k) ** 2
+    return max(flops / 30e12, batches * 1.5e-4)
+
+
 class SCFGP:
     """Sparsely Correlated Fourier features Gaussian Process (TPU-native)."""
 
@@ -946,10 +981,18 @@ class SCFGP:
             decay power, ``thin`` applied on-device inside the scan.
             ``num_integration_steps`` is ignored.
 
-        ``segment > 0`` (tempered only) runs the draw budget as a host
-        loop of bounded device executions continuing exactly from
-        ``final_positions`` — required on TPU relays that kill single
-        executions past ~100 s (CLAUDE.md); two compiled programs total.
+        ``segment > 0`` runs the budget as a host loop of bounded device
+        executions (hmc/nuts/sgld: chunked warmup AND sampling with the
+        adaptation carry threaded exactly, ``bayes/segmented.py``;
+        tempered: warmup + first segment fused, then continuations from
+        ``final_positions``) — required on TPU relays that kill single
+        executions past ~100 s (CLAUDE.md); a handful of compiled programs
+        total, identical in law to one-shot (RNG key splits aside).
+        ``segment=0`` AUTO-ENGAGES segmentation on TPU backends when a
+        conservative estimate (``_estimate_bayes_device_seconds``) says the
+        fused program would exceed ~60 s; pass ``segment=-1`` to force
+        one-shot.  VI is never segmented (its ELBO loop is an optimizer,
+        not a Markov chain; a warning fires if its estimate is large).
 
         ``chain_init="map"`` warm-starts every chain at the trained MAP
         (a ``fit_fast(max_iter=map_iters)`` point estimate) plus
@@ -1036,6 +1079,37 @@ class SCFGP:
                 max_rungs=max_rungs)
             init = wdraws[-1]  # warmed chains seed the cold rung
 
+        # -- bounded-execution policy (VERDICT r3 item 7) ------------------
+        # Auto-engage segmentation when the fused one-shot program would
+        # plausibly exceed the environment's ~100 s execution kill.  Only
+        # on non-CPU backends (CPU has no such limit, and auto-segmenting
+        # there would change test RNG streams); segment=-1 forces one-shot.
+        est_s = _estimate_bayes_device_seconds(
+            sampler, self.N, 2 * (self.S + self.M), chains,
+            len(betas) if sampler == "tempered" and betas is not None
+            else max_rungs,
+            num_warmup, num_samples, num_integration_steps, depth,
+            max(thin, 1), batch_size)
+        if segment == 0 and jax.default_backend() != "cpu" and est_s > 60.0:
+            if sampler == "vi":
+                import warnings
+                warnings.warn(
+                    "fit_bayes(vi): estimated device time %.0f s exceeds "
+                    "the ~100 s single-execution limit on relayed TPUs and "
+                    "VI cannot be segmented — reduce num_warmup (ELBO "
+                    "steps) if the worker crashes." % est_s, stacklevel=2)
+            else:
+                # Per-step estimate sizes segments to ~30 s of device time.
+                per_draw = est_s / max(num_warmup + num_samples
+                                       * max(thin, 1), 1)
+                segment = int(min(num_samples,
+                                  max(10, 30.0 / max(per_draw, 1e-9))))
+                self.message("fit_bayes(%s): est %.0f s one-shot — "
+                             "auto-segmenting at %d draws/execution"
+                             % (sampler, est_s, segment))
+        if segment < 0:
+            segment = 0
+
         t0 = time.time()
         if sampler == "tempered" and segment and segment < num_samples:
             # Bounded-execution mode for long runs: this environment's TPU
@@ -1059,6 +1133,41 @@ class SCFGP:
             run = _bayes_runner(sampler, **cfg)
             res = run(init, skey, self.X, self.y,
                       jnp.asarray(betas, self.dtype))
+        elif segment and sampler in ("hmc", "nuts") and (
+                segment < num_samples or segment < num_warmup):
+            # Bounded-execution host loop; data closed over like the
+            # tempered segmented path (fine at experiment scale).
+            from ..bayes.segmented import (hmc_sample_segmented,
+                                           nuts_sample_static_segmented)
+            logpost_seg = make_logposterior(
+                self.X, self.y, self.D, self.S, self.M,
+                streaming_block=streaming_block, basis_fn=self.extra_basis)
+            if sampler == "hmc":
+                res = hmc_sample_segmented(
+                    logpost_seg, init, skey, num_warmup=num_warmup,
+                    num_samples=num_samples, segment=int(segment),
+                    num_integration_steps=num_integration_steps,
+                    init_step_size=float(init_step_size),
+                    target_accept=float(target_accept))
+            else:
+                res = nuts_sample_static_segmented(
+                    logpost_seg, init, skey, num_warmup=num_warmup,
+                    num_samples=num_samples, segment=int(segment),
+                    depth=depth, init_step_size=float(init_step_size),
+                    target_accept=float(target_accept))
+        elif segment and sampler == "sgld" and (
+                segment < num_samples or num_warmup > segment):
+            from ..bayes import make_minibatch_value_and_grad
+            from ..bayes.segmented import sgld_sample_segmented
+            vgf = make_minibatch_value_and_grad(
+                self.X, self.y, self.D, self.S, self.M, int(batch_size),
+                basis_fn=self.extra_basis,
+                streaming_block=int(streaming_block))
+            res = sgld_sample_segmented(
+                vgf, init, skey, num_warmup=num_warmup,
+                num_samples=num_samples, segment=int(segment),
+                step_size=float(init_step_size),
+                step_decay=float(step_decay), thin=cfg.get("thin", 1))
         else:
             run = _bayes_runner(sampler, **cfg)
             res = run(init, skey, self.X, self.y)
@@ -1088,7 +1197,16 @@ class SCFGP:
         if self.bayes_diagnostics.max_rhat > 1.05:
             import warnings
             d = self.bayes_diagnostics
-            if np.isfinite(d.rhat_logdensity) and d.rhat_logdensity <= 1.05:
+            # The gauge-symmetry downgrade keys off log-density R-hat; for
+            # minibatch SGLD the logdensities are minibatch-noisy AND the
+            # same minibatch is shared across chains each step — common
+            # per-step noise inflates within-chain variance without adding
+            # between-chain separation, deflating log-density R-hat toward
+            # 1 for genuinely unmixed chains (ADVICE r3).  No downgrade
+            # there: report the coordinate R-hat verdict as-is.
+            ld_rhat_trustworthy = not (sampler == "sgld" and batch_size)
+            if (ld_rhat_trustworthy and np.isfinite(d.rhat_logdensity)
+                    and d.rhat_logdensity <= 1.05):
                 # Coordinate R-hat is confounded by the posterior's feature
                 # sign/permutation symmetries; the symmetry-invariant
                 # log-density trace HAS mixed — chains occupy symmetric or

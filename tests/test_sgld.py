@@ -194,3 +194,40 @@ def test_fit_bayes_tempered_segmented():
     assert np.isfinite(np.asarray(m.bayes_result.samples)).all()
     mu, std = m.predict_bayes(X[:10])
     assert np.isfinite(np.asarray(mu)).all()
+
+
+def test_sgld_nan_chain_does_not_poison_shared_preconditioner():
+    """One chain with a permanently non-finite gradient must not freeze the
+    other chains: non-finite gradients are masked OUT of the shared pSGLD
+    RMSProp metric (ADVICE r3 medium — previously one NaN poisoned v and
+    every chain's proposals were rejected forever)."""
+    mu = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+
+    def lp(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    base = jax.vmap(jax.value_and_grad(lp))
+
+    def vg(q, k):
+        vals, grads = base(q)
+        # chain 0's gradient is always NaN (a diverged chain)
+        bad = jnp.zeros_like(grads).at[0].set(jnp.nan)
+        return vals, grads + bad
+
+    init = jnp.zeros((4, 4), jnp.float32)
+    n_steps = 600
+    res = sgld_sample(vg, init, jax.random.PRNGKey(3), num_warmup=100,
+                      num_samples=n_steps - 100, step_size=0.05,
+                      preconditioner="rmsprop", precond_lambda=1e-3)
+    # The preconditioner stayed finite, ...
+    assert np.isfinite(np.asarray(res.precond)).all()
+    # ... chain 0 was rejected every step (stuck at its init), ...
+    assert int(res.nonfinite) == n_steps
+    draws = np.asarray(res.samples)
+    np.testing.assert_array_equal(draws[:, 0, :], 0.0)
+    # ... and the healthy chains actually mixed toward the target (loose
+    # band: short run + pSGLD discretization bias; the point is that they
+    # MOVE, not that they are calibrated).
+    healthy = draws[:, 1:, :].reshape(-1, 4)
+    np.testing.assert_allclose(healthy.mean(axis=0), np.asarray(mu),
+                               atol=1.0)
