@@ -91,8 +91,8 @@ def _encode(obj: Any, arrays: List[np.ndarray]) -> Any:
                 raise TypeError(f"checkpoint: non-str dict key {k!r}")
             out[k] = _encode(v, arrays)
         return {"__d__": out}
-    if isinstance(obj, bytes):
-        arrays.append(np.frombuffer(obj, np.uint8))
+    if isinstance(obj, (bytes, bytearray)):  # e.g. StableHLO payloads
+        arrays.append(np.frombuffer(bytes(obj), np.uint8))
         return {"__a__": len(arrays) - 1, "dtype": "bytes"}
     raise TypeError(f"checkpoint: cannot encode {type(obj).__name__}")
 
@@ -131,9 +131,9 @@ def _decode(node: Any, arrays: Dict[str, np.ndarray]) -> Any:
 # -- public API ---------------------------------------------------------------
 
 
-def save_state(path: str, state: Any) -> None:
-    """Write ``state`` (nested dict/list/tuple/NamedTuple/array/scalar) as
-    one npz archive with a JSON structure entry.  No pickle anywhere."""
+def dumps_state(state: Any) -> bytes:
+    """Serialize ``state`` (nested dict/list/tuple/NamedTuple/array/scalar/
+    bytes) to the npz-archive bytes format.  No pickle anywhere."""
     arrays: List[np.ndarray] = []
     tree = _encode(state, arrays)
     meta = json.dumps({"format": "scfgp-ckpt-v1", "tree": tree})
@@ -141,8 +141,29 @@ def save_state(path: str, state: Any) -> None:
     payload["__meta__"] = np.frombuffer(meta.encode("utf-8"), np.uint8)
     buf = io.BytesIO()
     np.savez(buf, **payload)
+    return buf.getvalue()
+
+
+def loads_state(blob: bytes) -> Any:
+    """Decode bytes produced by ``dumps_state``.  Loads with
+    ``allow_pickle=False`` end to end — safe on untrusted input (worst
+    case: a ValueError)."""
+    if blob[:2] != b"PK":
+        raise ValueError("not an scfgp npz checkpoint (bad magic)")
+    with np.load(io.BytesIO(blob), allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+        if meta.get("format") != "scfgp-ckpt-v1":
+            raise ValueError("not a scfgp checkpoint")
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    return _decode(meta["tree"], arrays)
+
+
+def save_state(path: str, state: Any) -> None:
+    """Write ``state`` (nested dict/list/tuple/NamedTuple/array/scalar) as
+    one npz archive with a JSON structure entry.  No pickle anywhere."""
+    blob = dumps_state(state)
     with open(path, "wb") as f:  # atomic enough for single-writer use
-        f.write(buf.getvalue())
+        f.write(blob)
 
 
 def load_state(path: str) -> Tuple[Any, str]:
@@ -151,14 +172,8 @@ def load_state(path: str) -> Tuple[Any, str]:
     branch exists only for pre-round-3 checkpoints and is as unsafe as
     pickle always is — never load untrusted legacy files."""
     with open(path, "rb") as f:
-        magic = f.read(2)
-    if magic == b"PK":
-        with np.load(path, allow_pickle=False) as z:
-            meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
-            if meta.get("format") != "scfgp-ckpt-v1":
-                raise ValueError(f"not a scfgp checkpoint: {path}")
-            arrays = {k: z[k] for k in z.files if k != "__meta__"}
-        return _decode(meta["tree"], arrays), "npz"
+        blob = f.read()
+    if blob[:2] == b"PK":
+        return loads_state(blob), "npz"
     import pickle
-    with open(path, "rb") as f:
-        return pickle.load(f), "pickle"
+    return pickle.loads(blob), "pickle"
