@@ -260,6 +260,10 @@ class NUTSResult(NamedTuple):
     # MAX_DELTA_ENERGY).  None default — a jnp literal here would touch the
     # XLA backend at import time (see hmc.HMCResult).
     divergences: jax.Array = None
+    # (chains, P) final positions + (da, wf) adaptation carry — segmented-
+    # execution resume points, same contract as hmc.HMCResult.
+    final_positions: jax.Array = None
+    warmup_state: tuple = None
 
 
 def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
@@ -455,7 +459,8 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
                        key: jax.Array, num_warmup: int = 500,
                        num_samples: int = 500, depth: int = 6,
                        init_step_size: float = 0.01,
-                       target_accept: float = 0.8) -> NUTSResult:
+                       target_accept: float = 0.8, adapted=None,
+                       warmup_state=None) -> NUTSResult:
     """Fixed-budget multinomial sampler, fully fused (scan of scans).
 
     Same warmup adaptation as ``nuts_sample`` (cross-chain dual averaging +
@@ -463,7 +468,10 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
     steps = ``2^depth`` gradient evaluations (edge-gradient caching — see
     ``hmc.leapfrog``), so per-chain work is static — one XLA program of
     nested ``lax.scan``s, the same program shape as the fused HMC sampler
-    that the remote TPU compiler already handles (docs/RESULTS.md)."""
+    that the remote TPU compiler already handles (docs/RESULTS.md).
+
+    ``adapted=(step_size, inv_mass)`` / ``warmup_state=(da, wf)``: bounded-
+    execution continuation, same contract as ``hmc.hmc_sample``."""
     C, P = init_positions.shape
     vg = jax.value_and_grad(logdensity_fn)
 
@@ -484,14 +492,23 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
 
     dtype = init_positions.dtype
     keys = jax.random.split(key, num_warmup + num_samples + 1)
-    wf0 = welford_init(P, dtype)
-    wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
-    (q, da, wf), _ = jax.lax.scan(
-        warmup_step, (init_positions, da_init(init_step_size, dtype), wf0),
-        keys[:num_warmup])
-
-    eps = jnp.exp(da.log_eps_avg)
-    inv_mass = welford_variance(wf)
+    out_warmup_state = None
+    if adapted is not None:
+        q = init_positions
+        eps = jnp.asarray(adapted[0], dtype)
+        inv_mass = jnp.asarray(adapted[1], dtype)
+    else:
+        if warmup_state is not None:
+            da0, wf0 = warmup_state
+        else:
+            da0 = da_init(init_step_size, dtype)
+            wf0 = welford_init(P, dtype)
+            wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
+        (q, da, wf), _ = jax.lax.scan(
+            warmup_step, (init_positions, da0, wf0), keys[:num_warmup])
+        out_warmup_state = (da, wf)
+        eps = jnp.exp(da.log_eps_avg)
+        inv_mass = welford_variance(wf)
 
     def sample_step(q, key):
         q, ld, acc, div = transition_all(q, key, eps, inv_mass)
@@ -503,4 +520,5 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
                       accept_rate=jnp.mean(accs), step_size=eps,
                       inv_mass=inv_mass,
                       mean_depth=jnp.asarray(float(depth)),
-                      divergences=jnp.sum(divs))
+                      divergences=jnp.sum(divs),
+                      final_positions=q, warmup_state=out_warmup_state)

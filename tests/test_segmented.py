@@ -1,0 +1,123 @@
+"""Bounded-execution segmented drivers (bayes/segmented.py): chunked
+warmup/sampling must equal one-shot in law — the adaptation carry is
+threaded exactly, so with matched step counts the ONLY difference is where
+the RNG keys split (VERDICT r3 item 7; CLAUDE.md ~100 s TPU worker-kill).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scfgp_tpu.bayes import (hmc_sample, hmc_sample_segmented,
+                             nuts_sample_static,
+                             nuts_sample_static_segmented,
+                             sgld_sample, sgld_sample_segmented)
+
+COV = np.array([[1.0, 0.6, 0.0],
+                [0.6, 2.0, 0.3],
+                [0.0, 0.3, 0.5]])
+PREC = np.linalg.inv(COV)
+MEAN = np.array([1.0, -2.0, 0.5])
+
+
+def gauss_logpdf(x):
+    d = x - jnp.asarray(MEAN, x.dtype)
+    return -0.5 * d @ jnp.asarray(PREC, x.dtype) @ d
+
+
+def _init(chains=4, seed=0):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(chains, 3), jnp.float32)
+
+
+def test_hmc_segmented_matches_oneshot_moments():
+    init = _init(chains=6, seed=1)
+    kw = dict(num_warmup=300, num_samples=900,
+              num_integration_steps=8, init_step_size=0.2)
+    one = hmc_sample(gauss_logpdf, init, jax.random.PRNGKey(0), **kw)
+    seg = hmc_sample_segmented(gauss_logpdf, init, jax.random.PRNGKey(0),
+                               segment=250, **kw)
+    assert seg.samples.shape == one.samples.shape
+    # Chunked warmup carried (da, wf) exactly -> the adapted step size and
+    # mass are the SAME ORDER as one-shot (values differ only through the
+    # RNG stream).
+    assert 0.2 < float(seg.step_size) / float(one.step_size) < 5.0
+    # The real law check: segmented and one-shot runs are draws from the
+    # SAME process — their sample moments agree tightly (any residual bias
+    # vs the analytic target, e.g. short-warmup non-stationarity, is
+    # SHARED; measured means differ < 0.01 here).
+    d1 = np.asarray(one.samples).reshape(-1, 3)
+    d2 = np.asarray(seg.samples).reshape(-1, 3)
+    np.testing.assert_allclose(d2.mean(0), d1.mean(0), atol=0.15)
+    np.testing.assert_allclose(np.cov(d2.T), np.cov(d1.T), atol=0.5)
+    np.testing.assert_allclose(d2.mean(0), MEAN, atol=0.4)
+    assert float(seg.accept_rate) > 0.6
+    assert seg.final_positions.shape == init.shape
+
+
+def test_nuts_static_segmented_matches_oneshot_moments():
+    init = _init(chains=6, seed=2)
+    kw = dict(num_warmup=200, num_samples=600, depth=3,
+              init_step_size=0.2)
+    one = nuts_sample_static(gauss_logpdf, init, jax.random.PRNGKey(1),
+                             **kw)
+    seg = nuts_sample_static_segmented(gauss_logpdf, init,
+                                       jax.random.PRNGKey(1), segment=170,
+                                       **kw)
+    assert seg.samples.shape == one.samples.shape
+    for r in (one, seg):
+        draws = np.asarray(r.samples).reshape(-1, 3)
+        np.testing.assert_allclose(draws.mean(0), MEAN, atol=0.25)
+    assert float(seg.accept_rate) > 0.6
+
+
+def test_hmc_segmented_zero_warmup_with_adapted():
+    init = _init(chains=4, seed=3)
+    seg = hmc_sample_segmented(gauss_logpdf, init, jax.random.PRNGKey(2),
+                               num_warmup=0, num_samples=200, segment=80,
+                               num_integration_steps=8,
+                               init_step_size=0.25)
+    assert seg.samples.shape == (200, 4, 3)
+    assert np.isfinite(np.asarray(seg.samples)).all()
+
+
+def test_sgld_segmented_continues_schedule_and_preconditioner():
+    mu = jnp.asarray([1.0, -2.0, 0.5])
+
+    def lp(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    vgf = lambda q, k: jax.vmap(jax.value_and_grad(lp))(q)
+    init = jnp.zeros((4, 3), jnp.float32)
+    kw = dict(num_warmup=400, num_samples=3000, step_size=0.05,
+              step_decay=0.1, preconditioner="rmsprop",
+              precond_lambda=1e-3)
+    one = sgld_sample(vgf, init, jax.random.PRNGKey(3), **kw)
+    seg = sgld_sample_segmented(vgf, init, jax.random.PRNGKey(3),
+                                segment=800, **kw)
+    assert seg.samples.shape == one.samples.shape
+    # The decay schedule's step index t carried across chunks: the final
+    # step size matches one-shot EXACTLY (eps_t is RNG-independent).
+    np.testing.assert_allclose(float(seg.step_size), float(one.step_size),
+                               rtol=1e-6)
+    assert int(seg.nonfinite) == 0
+    for r in (one, seg):
+        draws = np.asarray(r.samples).reshape(-1, 3)
+        np.testing.assert_allclose(draws.mean(0), np.asarray(mu), atol=0.35)
+
+
+def test_sgld_segmented_chunked_warmup():
+    mu = jnp.asarray([0.5, -0.5])
+
+    def lp(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    vgf = lambda q, k: jax.vmap(jax.value_and_grad(lp))(q)
+    init = jnp.zeros((3, 2), jnp.float32)
+    seg = sgld_sample_segmented(vgf, init, jax.random.PRNGKey(4),
+                                num_warmup=500, num_samples=1200,
+                                segment=400, step_size=0.1,
+                                preconditioner="none")
+    assert seg.samples.shape == (1200, 3, 2)
+    draws = np.asarray(seg.samples).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(mu), atol=0.3)
