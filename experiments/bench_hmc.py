@@ -29,6 +29,13 @@ def main():
                          "TPU, fused on CPU — the fused program is too "
                          "large for some remote-compile TPU services)")
     ap.add_argument("--skip-nuts", action="store_true")
+    ap.add_argument("--legs", default=None,
+                    help="comma-separated subset of legs to (re-)measure "
+                         "(hmc,nuts,nuts_static,sgld_b256); results MERGE "
+                         "into the existing bench_hmc.json so one leg can "
+                         "be re-run after a code change (e.g. the dynamic "
+                         "NUTS gradient-caching re-measure, VERDICT r3 "
+                         "item 3)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -102,6 +109,15 @@ def main():
     from scfgp_tpu.bayes.diagnostics import diagnose
 
     results = {}
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "results", "hmc")
+    outpath = os.path.join(outdir, "bench_hmc.json")
+    if args.legs:
+        wanted = {s.strip() for s in args.legs.split(",")}
+        benches = [(n, r) for n, r in benches if n in wanted]
+        if os.path.exists(outpath):
+            with open(outpath) as f:
+                results = json.load(f)
     for name, run in benches:
         t0 = time.time()
         res = run(init, jax.random.PRNGKey(1))
@@ -137,10 +153,8 @@ def main():
         }
         print(json.dumps({name: results[name]}), flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results", "hmc")
-    os.makedirs(out, exist_ok=True)
-    with open(os.path.join(out, "bench_hmc.json"), "w") as f:
+    os.makedirs(outdir, exist_ok=True)
+    with open(outpath, "w") as f:
         json.dump(results, f, indent=2)
 
 
