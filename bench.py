@@ -8,8 +8,13 @@ excluded, timed to a HOST READBACK (the tunneled TPU's block_until_ready can
 return before execution finishes — CLAUDE.md).
 
 Legs: "auto" (primary/headline — the measured-dispatch configuration
-``SCFGP(mm_dtype="auto")`` actually ships, ops/dispatch.py; resolves to f32
-at this shape), bf16-MXU GEMMs, Pallas fused feature map.  FLOPs per step
+``SCFGP(mm_dtype="auto")`` actually ships, ops/dispatch.py; resolves to
+HONEST f32 at this shape — since round 4 the package forces
+``jax_default_matmul_precision="highest"`` because jax's default lowered
+f32 TPU dots to single-pass bf16, which broke the co2 composite fit; the
+"f32_mxu_default" context leg measures the old fake-f32 arithmetic for
+continuity with rounds 1-3), bf16-MXU GEMMs, Pallas fused feature map.
+FLOPs per step
 come from XLA's own cost analysis of the compiled program, so the printed
 MFU = flops * steps/s / v5e-bf16-peak is the compiler's count, not a hand
 estimate.
@@ -119,14 +124,23 @@ except Exception:
     flops_per_step = 0.0
 for name, impl, mm in (("f32", "xla", None),
                        ("bf16", "xla", jnp.bfloat16),
-                       ("pallas_phi", "pallas", None)):
+                       ("pallas_phi", "pallas", None),
+                       ("f32_mxu_default", "xla", None)):
     if name == auto_name:
         legs[name] = legs["auto"]   # same program; don't re-measure
         continue
     try:
+        if name == "f32_mxu_default":
+            # rounds 1-3 continuity: jax's default f32 lowering (bf16
+            # single-pass on the MXU) — what every pre-round-4 "f32"
+            # number actually measured.
+            jax.config.update("jax_default_matmul_precision", "default")
         legs[name] = measure(make_run(impl, mm))
     except Exception as e:
         legs[name] = None
+    finally:
+        if name == "f32_mxu_default":
+            jax.config.update("jax_default_matmul_precision", "highest")
 print(json.dumps({"legs": legs, "auto_resolved": auto_name,
                   "flops_per_step": flops_per_step,
                   "backend": jax.default_backend()}))
@@ -171,7 +185,9 @@ def main():
             f"median-of-3 sequences, {ms_step:.2f} ms/step"
             + (f", MFU {mfu:.1%}" if mfu else "")
             + (f"; {extra}" if extra else "")
-            + "; chip drifts ~±20% across sessions: r02 1642, r03 1328)")
+            + "; honest-f32 headline since r04 (prior rounds' f32 was"
+              " bf16-pass: see f32_mxu_default leg); chip drifts ~±20%"
+              " across sessions: r02 1642, r03 1328)")
     if cpu_fallback:
         unit = "evals/s (CPU FALLBACK - TPU unresponsive; " + unit[9:]
     print(json.dumps({

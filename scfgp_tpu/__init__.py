@@ -9,6 +9,20 @@ data-parallel training over device meshes via psum-ed sufficient statistics,
 Pallas kernels for the hot path, and chain-parallel HMC/NUTS.
 """
 
+import jax as _jax
+
+# f32 must MEAN f32: on TPU, jax's default matmul precision lowers f32
+# dots to single-pass bf16 on the MXU, which silently broke the co2
+# composite model (NMSE 2.34 vs the correct 0.00023 — measured round 4,
+# docs/RESULTS.md precision section; 3-pass "high" still NaNs).  The
+# reference runs float64 Theano (``reference: SCFGP/SCFGP.py:95,138``),
+# so metric parity requires honest f32 as the floor.  Explicitly
+# requested reduced precision stays available (``SCFGP(mm_dtype=...)`` /
+# "auto" dispatch, ops/dispatch.py) — that is the speed lever; the
+# DEFAULT is correct.  Respect a user's own setting if present.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from .models.params import (SCFGPParams, init_params, pack_params,
                             unpack_params, num_params)
 from .models.objective import (SufficientStats, Posterior, fourier_features,

@@ -25,7 +25,8 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
                       phases=None,
                       streaming_block: int = 0,
                       basis_fn=None,
-                      n_scale: int | None = None):
+                      n_scale: int | None = None,
+                      mm_dtype=None):
     """log p(theta | data) up to a constant: -(nlml + penalty)/2.
 
     The reference's training cost is (nlml + penalty)/N (``reference:
@@ -51,6 +52,14 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
     the N-scaled stochastic estimator SGLD steps on (``bayes/sgld.py``) —
     the same scaled-minibatch semantics as the reference's own
     ``nbatches > 1`` training path (``reference: SCFGP/SCFGP.py:226-235``).
+
+    ``mm_dtype=jnp.bfloat16`` runs the posterior's O(N K^2) GEMMs at the
+    MXU's native input width (measured ~2x gradient throughput vs honest
+    f32, ``results/precision_matrix.json``) — the explicit speed lever
+    for samplers, at the cost of sampling a slightly perturbed target
+    (the MH correction uses the same approximate density, so the chain is
+    exact for the bf16-GEMM posterior, not the f32 one).  Dense path
+    only; ignored under ``streaming_block``.
     """
     n = X.shape[0] if n_scale is None else int(n_scale)
 
@@ -62,7 +71,8 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
                                      block_size=int(streaming_block))[0]
     else:
         def cost_of(p):
-            return loss_fn(p, X, y, basis_fn=basis_fn)[0]
+            return loss_fn(p, X, y, basis_fn=basis_fn,
+                           mm_dtype=mm_dtype)[0]
 
     if include_phases:
         def logpost(theta):

@@ -315,10 +315,11 @@ _BAYES_RUNNERS: dict = {}
 
 def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
                   num_samples, num_integration_steps, init_step_size, depth,
-                  target_accept, batch_size=0, step_decay=0.0, thin=1):
+                  target_accept, batch_size=0, step_decay=0.0, thin=1,
+                  mm_dtype=None):
     key = (sampler, D, S, M, streaming_block, basis_fn, num_warmup,
            num_samples, num_integration_steps, init_step_size, depth,
-           target_accept, batch_size, step_decay, thin)
+           target_accept, batch_size, step_decay, thin, mm_dtype)
     run = _BAYES_RUNNERS.get(key)
     if run is None:
         from ..bayes import (hmc_sample, nuts_sample_static,
@@ -327,7 +328,7 @@ def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
         def make_lp(X, y):
             return make_logposterior(X, y, D, S, M,
                                      streaming_block=streaming_block,
-                                     basis_fn=basis_fn)
+                                     basis_fn=basis_fn, mm_dtype=mm_dtype)
 
         if sampler == "hmc":
             def run_impl(q, k, X, y):
@@ -357,7 +358,7 @@ def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
             def run_impl(q, k, X, y):
                 vgf = make_minibatch_value_and_grad(
                     X, y, D, S, M, batch_size, basis_fn=basis_fn,
-                    streaming_block=streaming_block)
+                    streaming_block=streaming_block, mm_dtype=mm_dtype)
                 return sgld_sample(
                     vgf, q, k, num_warmup=num_warmup,
                     num_samples=num_samples, step_size=init_step_size,
@@ -1044,13 +1045,15 @@ class SCFGP:
         # closing them over would ship the data as jaxpr constants inside
         # the compile payload — the documented remote-compile failure mode
         # (CLAUDE.md) — and would defeat runner reuse across models.
+        from ..ops.dispatch import resolve_mm_dtype
+        mm = resolve_mm_dtype(self.mm_dtype, self.N, 2 * (self.S + self.M))
         cfg = dict(D=self.D, S=self.S, M=self.M,
                    streaming_block=int(streaming_block),
                    basis_fn=self.extra_basis,
                    num_warmup=num_warmup, num_samples=num_samples,
                    num_integration_steps=num_integration_steps,
                    init_step_size=float(init_step_size), depth=depth,
-                   target_accept=float(target_accept))
+                   target_accept=float(target_accept), mm_dtype=mm)
         if sampler == "sgld":
             # SGLD thins on-device inside the scan (num_samples = KEPT
             # draws); the common host-side thinning below must not re-thin.
@@ -1121,7 +1124,8 @@ class SCFGP:
             from ..bayes.tempering import tempered_hmc_sample_segmented
             logpost_seg = make_logposterior(
                 self.X, self.y, self.D, self.S, self.M,
-                streaming_block=streaming_block, basis_fn=self.extra_basis)
+                streaming_block=streaming_block, basis_fn=self.extra_basis,
+                mm_dtype=mm)
             res = tempered_hmc_sample_segmented(
                 logpost_seg, init, skey, jnp.asarray(betas, self.dtype),
                 num_warmup=num_warmup, num_samples=num_samples,
@@ -1141,7 +1145,8 @@ class SCFGP:
                                            nuts_sample_static_segmented)
             logpost_seg = make_logposterior(
                 self.X, self.y, self.D, self.S, self.M,
-                streaming_block=streaming_block, basis_fn=self.extra_basis)
+                streaming_block=streaming_block, basis_fn=self.extra_basis,
+                mm_dtype=mm)
             if sampler == "hmc":
                 res = hmc_sample_segmented(
                     logpost_seg, init, skey, num_warmup=num_warmup,
@@ -1162,7 +1167,7 @@ class SCFGP:
             vgf = make_minibatch_value_and_grad(
                 self.X, self.y, self.D, self.S, self.M, int(batch_size),
                 basis_fn=self.extra_basis,
-                streaming_block=int(streaming_block))
+                streaming_block=int(streaming_block), mm_dtype=mm)
             res = sgld_sample_segmented(
                 vgf, init, skey, num_warmup=num_warmup,
                 num_samples=num_samples, segment=int(segment),

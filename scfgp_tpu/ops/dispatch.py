@@ -26,13 +26,40 @@ for N beyond HBM), not a dense-speed lever.
 
 ``auto_mm_dtype`` encodes exactly that rule; ``SCFGP(mm_dtype="auto")``
 resolves it at fit time when N is known.
+
+ROUND-4 REVISION — honest f32 changes the reading, not the rule.  The
+package now forces ``jax_default_matmul_precision="highest"`` at import
+(scfgp_tpu/__init__.py): jax's DEFAULT lowered f32 TPU dots to
+single-pass bf16, so the round-3 table's "f32" column was fake-f32 (and
+the fake precision broke the co2 composite fit outright: NMSE 2.34 vs
+0.00023).  Against HONEST f32, explicit bf16 wins every re-measured cell
+on speed (same-session medians, ``results/precision_matrix.json``):
+
+  cell (N x 2K)   f32-honest   bf16    speedup
+  2048 x  500     1387         1949    1.41x
+  8192 x  500      744         1467    1.97x
+  8192 x 1024      210         576     2.75x
+  65536 x  500     121         257     2.13x
+
+So the dispatch is no longer speed-gated — it is QUALITY-gated: the
+round-3 accuracy sweep (``results/bf16_sweep.json``, CPU-exact bf16
+semantics) measured bf16 NON-neutral on kin8nm (NMSE +0.013 ≈ +14%
+relative) and neutral on boston/abalone/plain-co2, and the co2 COMPOSITE
+model needs true f32 to fit at all.  ``auto`` therefore keeps honest f32
+at benchmark scales and flips to bf16 only at the huge-GEMM-work regime
+(streaming/synthetic scale) where the O(N K^2) cost dominates and the
+measured win is largest; anyone who wants bf16 below the threshold opts
+in explicitly with ``mm_dtype=jnp.bfloat16`` (now also plumbed through
+``fit_bayes``'s log-posterior).
 """
 
 from __future__ import annotations
 
-# bf16 threshold: smallest measured cell with a >5% same-session bf16 win
-# (65536 x 1024 -> N*(2K)^2 = 6.87e10).  Cells below it measured within
-# session noise or f32-favored.
+# auto->bf16 threshold (unchanged value, revised rationale — see module
+# doc): below it, auto preserves honest-f32 QUALITY (bf16 measured
+# non-neutral on kin8nm); above it (65536 x 1024-class work) the GEMM
+# cost dominates and bf16's 2x+ is the right default for synthetic/
+# streaming-scale workloads.
 BF16_GEMM_WORK_THRESHOLD = 6.8e10
 
 

@@ -201,3 +201,13 @@ def test_run_cli_bayes_bool_config_and_key_validation(tmp_path):
     }))
     with pytest.raises(SystemExit, match="not_a_knob"):
         main(["--config", str(bad)])
+
+
+def test_package_forces_honest_f32_matmul_precision():
+    """scfgp_tpu import must set jax_default_matmul_precision='highest'
+    (unless the user already chose): TPU's DEFAULT lowers f32 dots to
+    single-pass bf16, which broke the co2 composite model (NMSE 2.34 vs
+    0.00023 measured — docs/RESULTS.md round-4 precision section)."""
+    import jax
+    import scfgp_tpu  # noqa: F401 — import side effect under test
+    assert jax.config.jax_default_matmul_precision == "highest"
