@@ -306,16 +306,21 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
     import numpy as np
 
     n_seg = -(-num_samples // segment)
+    # betas ride as TRACED arguments: ladders differ per dataset/seed in
+    # VALUES far more often than in length, and closing them over would
+    # recompile both segment programs for every new ladder (measured
+    # minutes per seed on the remote-compile TPU service).
+    betas = jnp.asarray(betas)
     first_fn = (jax.jit if jit else (lambda f: f))(
-        lambda q, k: tempered_hmc_sample(
-            logdensity_fn, q, k, betas=betas, num_warmup=num_warmup,
+        lambda q, k, b: tempered_hmc_sample(
+            logdensity_fn, q, k, betas=b, num_warmup=num_warmup,
             num_samples=segment,
             num_integration_steps=num_integration_steps,
             init_step_size=init_step_size, target_accept=target_accept))
-    first = first_fn(init_positions, jax.random.fold_in(key, 0))
+    first = first_fn(init_positions, jax.random.fold_in(key, 0), betas)
     cont = (jax.jit if jit else (lambda f: f))(
-        lambda q_all, k, eps, im, off: tempered_hmc_sample(
-            logdensity_fn, init_positions, k, betas=betas,
+        lambda q_all, k, b, eps, im, off: tempered_hmc_sample(
+            logdensity_fn, init_positions, k, betas=b,
             num_warmup=0, num_samples=segment,
             num_integration_steps=num_integration_steps,
             init_step_size=init_step_size, target_accept=target_accept,
@@ -326,8 +331,8 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
         [float(first.swap_rate)], [int(first.divergences)]
     q_all = first.final_positions
     for s in range(1, n_seg):
-        r = cont(q_all, jax.random.fold_in(key, s), first.step_sizes,
-                 first.inv_mass,
+        r = cont(q_all, jax.random.fold_in(key, s), betas,
+                 first.step_sizes, first.inv_mass,
                  jnp.asarray(num_warmup + s * segment, jnp.int32))
         samples.append(np.asarray(r.samples))   # readback bounds execution
         lds.append(np.asarray(r.logdensities))
