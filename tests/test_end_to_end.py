@@ -238,3 +238,47 @@ def test_dataset_loaders_shapes():
     Xt, yt, Xv, yv, meta = load_co2(seed=1)
     assert Xt.shape[1] == 1
     assert meta["source"] in ("real", "synthetic-surrogate")
+
+
+def test_bayes_predictive_artifact_claims():
+    """Pin the round-4 posterior-predictive validation's headline claims
+    against its committed artifact (docs/RESULTS.md round-4 section).
+    These are artifact-consistency pins — the campaign itself needs the
+    TPU (experiments/bayes_predictive.py); this test guards against the
+    artifact and the documented claims drifting apart.
+
+    Claims: (1) on kin8nm, posterior mixing beats every point-estimate
+    arm (tempered < hmc < ensemble < map in NMSE) and tempered beats the
+    round-3 ensemble floor-closer recipe (0.0347 at 10x capacity);
+    (2) on abalone all arms tie within noise (the dataset sits at its
+    floor); (3) on co2 every arm's NMSE is at the composite floor; (4)
+    boston's best arm is the ensemble (the documented negative); (5)
+    every Bayes arm records chain-bootstrap MC error bars."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments", "results",
+        "bayes_predictive", "results.json")
+    if not os.path.exists(path):
+        pytest.skip("bayes_predictive artifact not present")
+    with open(path) as f:
+        d = json.load(f)
+    r = d["results"]
+
+    k = {a: s["NMSE"]["mean"] for a, s in r["kin8nm"]["summary"].items()}
+    assert k["tempered"] < k["hmc"] < k["ensemble"] < k["map"], k
+    assert k["tempered"] < 0.0347, k  # beats the round-3 floor-closer
+    assert r["kin8nm"]["summary"]["tempered"]["MNLP"]["mean"] < -1.5
+
+    a = {a_: s["NMSE"]["mean"] for a_, s in r["abalone"]["summary"].items()}
+    assert max(a.values()) - min(a.values()) < 0.025, a
+
+    c = {a_: s["NMSE"]["mean"] for a_, s in r["co2"]["summary"].items()}
+    assert all(v < 0.002 for v in c.values()), c
+
+    b = {a_: s["NMSE"]["mean"] for a_, s in r["boston"]["summary"].items()}
+    assert min(b, key=b.get) == "ensemble", b
+
+    for ds in ("boston", "abalone", "kin8nm", "co2"):
+        for arm in ("hmc", "tempered", "sgld"):
+            assert "mc_std_MNLP" in r[ds]["summary"][arm], (ds, arm)
