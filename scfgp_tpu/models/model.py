@@ -1005,6 +1005,17 @@ class SCFGP:
         use ``sampler="tempered"`` (or random inits + more chains) when
         cross-basin mass matters.
 
+        Budget guidance, measured (round-4 campaigns, docs/RESULTS.md):
+        cross-basin min-ESS tracks #CHAINS at every committed budget
+        (each chain ~ 1 effective cross-basin draw; replica exchange
+        cannot beat chain count at buying ESS at <= ~800 device-seconds
+        on the dim-1163 posterior) — spend device-seconds on more chains
+        for ESS-style guarantees.  For PREDICTIVE quality on multimodal
+        posteriors, ``sampler="tempered"`` is the measured winner
+        (kin8nm: NMSE 2.35x floor / MNLP -1.61, beating every committed
+        point-estimate recipe), with MAP-warm ``"hmc"`` getting ~2/3 of
+        the win at ~1/4 the seconds.
+
         Sampling runs in the phase-free reduced space (phases are pure
         gauge — see ``bayes/predictive.py::make_logposterior``).
         ``streaming_block > 0`` uses the O(block)-memory objective so the
