@@ -129,12 +129,15 @@ def leapfrog(logdensity_grad: Callable, position, momentum, eps, inv_mass,
     else:
         _, g0 = init_ld_grad
 
+    im = inv_mass if inv_mass.ndim == 2 else inv_mass[None, :]  # (C|1, P)
+    e = eps if jnp.ndim(eps) == 0 else eps[:, None]             # () | (C,1)
+
     def body(carry, _):
         q, p, g = carry
-        p = p + 0.5 * eps * g
-        q = q + eps * inv_mass[None, :] * p
+        p = p + 0.5 * e * g
+        q = q + e * im * p
         ld, g = logdensity_grad(q)
-        p = p + 0.5 * eps * g
+        p = p + 0.5 * e * g
         return (q, p, g), ld
     (q, p, _), lds = jax.lax.scan(body, (position, momentum, g0), None,
                                   length=num_steps)
@@ -174,13 +177,15 @@ def make_hmc_transition(logdensity_fn: Callable, num_integration_steps: int):
     vg = jax.vmap(jax.value_and_grad(logdensity_fn))
 
     def kinetic(p, inv_mass):
-        return 0.5 * jnp.sum(p * p * inv_mass[None, :], axis=1)
+        im = inv_mass if inv_mass.ndim == 2 else inv_mass[None, :]
+        return 0.5 * jnp.sum(p * p * im, axis=1)
 
     def transition(q, key, eps, inv_mass):
         C = q.shape[0]
         k1, k2 = jax.random.split(key)
-        mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
-        p0 = jax.random.normal(k1, q.shape, q.dtype) * mass_sqrt[None, :]
+        im = inv_mass if inv_mass.ndim == 2 else inv_mass[None, :]
+        mass_sqrt = 1.0 / jnp.sqrt(im)
+        p0 = jax.random.normal(k1, q.shape, q.dtype) * mass_sqrt
         ld0, g0 = vg(q)
         h0 = -ld0 + kinetic(p0, inv_mass)
         q1, p1, ld1 = leapfrog(vg, q, p0, eps, inv_mass,
@@ -246,7 +251,8 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
                key: jax.Array, num_warmup: int = 500, num_samples: int = 500,
                num_integration_steps: int = 16, init_step_size: float = 0.01,
                target_accept: float = 0.8, adapted=None,
-               warmup_state=None) -> HMCResult:
+               warmup_state=None,
+               shared_adaptation: bool = True) -> HMCResult:
     """Run C chains of HMC with shared warmup adaptation; fully jitted.
 
     ``init_positions``: (chains, P); ``logdensity_fn``: (P,) -> scalar.
@@ -259,6 +265,17 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
     (with ``num_samples=0`` for pure warmup chunks).  Chunked == one-shot
     in law — the kernel is Markov and the adaptation carry is exact; only
     the RNG key splits differ.
+
+    ``shared_adaptation=False`` adapts a PER-CHAIN step size (dual
+    averaging on each chain's own acceptance) and per-chain diagonal mass
+    — the fleet mode for many random-init chains on multimodal
+    posteriors, where basins have different curvature scales and one
+    shared (eps, mass) collapses (measured: 64 random-init chains with
+    shared adaptation froze at 0.008 acceptance / 11.6k divergences on
+    the dim-1163 posterior, ``results/hmc/deep_ladder_campaign.json``;
+    per-chain adaptation is the fix).  Chains stay one (C, P) MXU batch;
+    the continuation contract is unchanged (``step_size`` is then (C,),
+    ``inv_mass`` (C, P)).
     """
     C, P = init_positions.shape
     vg = jax.vmap(jax.value_and_grad(logdensity_fn))
@@ -267,12 +284,14 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
         return vg(q)
 
     def kinetic(p, inv_mass):
-        return 0.5 * jnp.sum(p * p * inv_mass[None, :], axis=1)
+        im = inv_mass if inv_mass.ndim == 2 else inv_mass[None, :]
+        return 0.5 * jnp.sum(p * p * im, axis=1)
 
     def transition(q, key, eps, inv_mass):
         k1, k2 = jax.random.split(key)
-        mass_sqrt = 1.0 / jnp.sqrt(inv_mass)
-        p0 = jax.random.normal(k1, q.shape, q.dtype) * mass_sqrt[None, :]
+        im = inv_mass if inv_mass.ndim == 2 else inv_mass[None, :]
+        mass_sqrt = 1.0 / jnp.sqrt(im)
+        p0 = jax.random.normal(k1, q.shape, q.dtype) * mass_sqrt
         ld0, g0 = ld_grad(q)
         h0 = -ld0 + kinetic(p0, inv_mass)
         q1, p1, ld1 = leapfrog(ld_grad, q, p0, eps, inv_mass,
@@ -289,15 +308,27 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
         ld_next = jnp.where(accept, ld1, ld0)
         return q_next, ld_next, jnp.exp(log_accept), div
 
-    # -- warmup: adapt eps (dual averaging on mean accept) + mass (Welford) --
+    # -- warmup: adapt eps (dual averaging) + mass (Welford) -----------------
+    # shared mode: ONE (eps, mass) from the mean acceptance across chains
+    # (the cross-chain collective); fleet mode: per-chain states, same ops
+    # vmapped over the chain axis.
+    da_up = (da_update if shared_adaptation
+             else jax.vmap(lambda st, a: da_update(st, a,
+                                                   target=target_accept)))
+    wf_var = (welford_variance if shared_adaptation
+              else jax.vmap(welford_variance))
+
     def warmup_step(carry, key):
         q, da, wf = carry
         eps = jnp.exp(da.log_eps)
-        inv_mass = welford_variance(wf)
+        inv_mass = wf_var(wf)
         q, ld, acc, _ = transition(q, key, eps, inv_mass)
-        # Mean acceptance across chains: the cross-chain collective.
-        da = da_update(da, jnp.mean(acc), target=target_accept)
-        wf = welford_add_batch(wf, q)
+        if shared_adaptation:
+            da = da_update(da, jnp.mean(acc), target=target_accept)
+            wf = welford_add_batch(wf, q)
+        else:
+            da = da_up(da, acc)
+            wf = jax.vmap(welford_add_batch)(wf, q[:, None, :])
         return (q, da, wf), None
 
     dtype = init_positions.dtype
@@ -315,11 +346,16 @@ def hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
             wf0 = welford_init(P, dtype)
             # Seed the mass estimate at unit variance until draws accumulate.
             wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
+            if not shared_adaptation:
+                da0 = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (C,) + x.shape), da0)
+                wf0 = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (C,) + x.shape), wf0)
         (q, da, wf), _ = jax.lax.scan(
             warmup_step, (init_positions, da0, wf0), keys[:num_warmup])
         out_warmup_state = (da, wf)
         eps = jnp.exp(da.log_eps_avg)
-        inv_mass = welford_variance(wf)
+        inv_mass = wf_var(wf)
 
     # -- sampling ------------------------------------------------------------
     def sample_step(q, key):

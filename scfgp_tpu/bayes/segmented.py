@@ -118,6 +118,7 @@ def hmc_sample_segmented(logdensity_fn: Callable, init_positions, key,
                          num_integration_steps: int = 16,
                          init_step_size: float = 0.01,
                          target_accept: float = 0.8,
+                         shared_adaptation: bool = True,
                          jit: bool = True) -> HMCResult:
     """``hmc.hmc_sample`` as a host loop of bounded executions (module
     doc); identical in law to one-shot, RNG key splits aside."""
@@ -125,7 +126,8 @@ def hmc_sample_segmented(logdensity_fn: Callable, init_positions, key,
         lambda q, k, **kw: hmc_sample(logdensity_fn, q, k, **kw),
         HMCResult, init_positions, key, num_warmup, num_samples, segment,
         jit=jit, num_integration_steps=num_integration_steps,
-        init_step_size=init_step_size, target_accept=target_accept)
+        init_step_size=init_step_size, target_accept=target_accept,
+        shared_adaptation=shared_adaptation)
 
 
 def nuts_sample_static_segmented(logdensity_fn: Callable, init_positions,

@@ -316,10 +316,11 @@ _BAYES_RUNNERS: dict = {}
 def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
                   num_samples, num_integration_steps, init_step_size, depth,
                   target_accept, batch_size=0, step_decay=0.0, thin=1,
-                  mm_dtype=None):
+                  mm_dtype=None, shared_adaptation=True):
     key = (sampler, D, S, M, streaming_block, basis_fn, num_warmup,
            num_samples, num_integration_steps, init_step_size, depth,
-           target_accept, batch_size, step_decay, thin, mm_dtype)
+           target_accept, batch_size, step_decay, thin, mm_dtype,
+           shared_adaptation)
     run = _BAYES_RUNNERS.get(key)
     if run is None:
         from ..bayes import (hmc_sample, nuts_sample_static,
@@ -337,7 +338,8 @@ def _bayes_runner(sampler, D, S, M, streaming_block, basis_fn, num_warmup,
                     num_samples=num_samples,
                     num_integration_steps=num_integration_steps,
                     init_step_size=init_step_size,
-                    target_accept=target_accept)
+                    target_accept=target_accept,
+                    shared_adaptation=shared_adaptation)
         elif sampler == "nuts":
             def run_impl(q, k, X, y):
                 return nuts_sample_static(
@@ -951,7 +953,8 @@ class SCFGP:
                   max_rungs: int = 16, target_accept: float = 0.8,
                   batch_size: int = 0, step_decay: float = 0.0,
                   chain_init: str = "random", map_iters: int = 200,
-                  init_jitter: float = 0.05, segment: int = 0):
+                  init_jitter: float = 0.05, segment: int = 0,
+                  shared_adaptation: bool = True):
         """One-call Bayesian fit: chain-parallel sampling over the
         hyperparameter posterior + posterior-predictive mixing.
 
@@ -994,6 +997,10 @@ class SCFGP:
         fused program would exceed ~60 s; pass ``segment=-1`` to force
         one-shot.  VI is never segmented (its ELBO loop is an optimizer,
         not a Markov chain; a warning fires if its estimate is large).
+
+        ``shared_adaptation=False`` (hmc only) adapts per-chain step
+        sizes/masses — the many-random-init fleet mode (see
+        ``bayes/hmc.py::hmc_sample``).
 
         ``chain_init="map"`` warm-starts every chain at the trained MAP
         (a ``fit_fast(max_iter=map_iters)`` point estimate) plus
@@ -1064,7 +1071,8 @@ class SCFGP:
                    num_warmup=num_warmup, num_samples=num_samples,
                    num_integration_steps=num_integration_steps,
                    init_step_size=float(init_step_size), depth=depth,
-                   target_accept=float(target_accept), mm_dtype=mm)
+                   target_accept=float(target_accept), mm_dtype=mm,
+                   shared_adaptation=bool(shared_adaptation))
         if sampler == "sgld":
             # SGLD thins on-device inside the scan (num_samples = KEPT
             # draws); the common host-side thinning below must not re-thin.
@@ -1164,7 +1172,8 @@ class SCFGP:
                     num_samples=num_samples, segment=int(segment),
                     num_integration_steps=num_integration_steps,
                     init_step_size=float(init_step_size),
-                    target_accept=float(target_accept))
+                    target_accept=float(target_accept),
+                    shared_adaptation=bool(shared_adaptation))
             else:
                 res = nuts_sample_static_segmented(
                     logpost_seg, init, skey, num_warmup=num_warmup,

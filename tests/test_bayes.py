@@ -423,3 +423,43 @@ def test_tempered_step_offset_controls_swap_parity():
         gauss_logpdf, init, jax.random.PRNGKey(k), step_offset=0,
         **kw).swap_rate) for k in range(4)]
     assert max(rates) > 0.0
+
+
+def test_hmc_per_chain_adaptation_fleet_mode():
+    """shared_adaptation=False: each chain adapts its OWN step size and
+    mass.  Scenario modeled on the measured failure (deep_ladder_campaign:
+    one shared adaptation over heterogeneous random inits collapsed to
+    0.008 acceptance): chains target the same posterior but start in
+    regions with very different scales via a per-chain scale transform —
+    here, a target whose curvature differs by 100x across coordinates and
+    chains initialized at very different distances.  Fleet mode must
+    deliver healthy per-chain acceptance and (C,)-shaped step sizes."""
+    from scfgp_tpu.bayes import hmc_sample
+
+    def lp(x):
+        sig2 = jnp.asarray([0.01, 1.0, 100.0], x.dtype)
+        return -0.5 * jnp.sum(x * x / sig2)
+
+    C = 6
+    rng = np.random.RandomState(0)
+    init = jnp.asarray(rng.randn(C, 3) * np.array([0.1, 1.0, 10.0]),
+                       jnp.float32)
+    res = hmc_sample(lp, init, jax.random.PRNGKey(0), num_warmup=400,
+                     num_samples=800, num_integration_steps=8,
+                     init_step_size=0.05, shared_adaptation=False)
+    assert res.step_size.shape == (C,)
+    assert res.inv_mass.shape == (C, 3)
+    assert float(res.accept_rate) > 0.6
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    norm_mean = draws.mean(0) / np.sqrt(np.array([0.01, 1.0, 100.0]))
+    np.testing.assert_allclose(norm_mean, np.zeros(3), atol=0.4)
+    # each chain's mass found the 100x curvature spread
+    im = np.asarray(res.inv_mass)
+    assert (im[:, 2] / im[:, 0] > 30).all(), im
+    # continuation contract with per-chain adapted state still works
+    res2 = hmc_sample(lp, res.final_positions, jax.random.PRNGKey(1),
+                      num_warmup=0, num_samples=50,
+                      num_integration_steps=8,
+                      adapted=(res.step_size, res.inv_mass))
+    assert res2.samples.shape == (50, C, 3)
+    assert np.isfinite(np.asarray(res2.samples)).all()
