@@ -102,7 +102,8 @@ def reduced_dim(D, S, M) -> int:
 
 
 def predictive_mixture(thetas, X, y, Xs, D, S, M, basis_fn=None,
-                       chunk: int = 8, streaming_block: int = 0):
+                       chunk: int = 8, streaming_block: int = 0,
+                       recalibrate: bool = False):
     """Posterior-predictive mean/std at Xs mixing over theta samples.
 
     ``thetas``: (num_samples, P) flat draws.  Returns (mu, std) in the
@@ -115,7 +116,22 @@ def predictive_mixture(thetas, X, y, Xs, D, S, M, basis_fn=None,
     additionally routes each per-draw solve through the O(block)-memory
     objective (``ops/streaming.py``), matching ``fit_bayes``'s
     ``streaming_block`` for N beyond HBM.
+
+    ``recalibrate=True`` applies PER-DRAW dispersion recalibration — the
+    mixture analog of ``SCFGP.recalibrate_dispersion()``: each draw's
+    ``softplus(c)`` is replaced by ``mean(train resid^2) / (1 + mean(train
+    var_f))`` before its predictive variance enters the mixture.  Closes
+    the reference-faithful dispersion inflation on high-SNR data (round-4
+    campaign: co2 composite Bayes-arm MNLP ~1.7 with the raw dispersion
+    vs the MAP arm's recalibrated 0.22 — docs/RESULTS.md).  Costs one
+    extra train-set predict per draw; incompatible with
+    ``streaming_block`` (the train moments would need a blockwise pass).
     """
+    if recalibrate and streaming_block:
+        raise ValueError("recalibrate=True is not supported with "
+                         "streaming_block (train-set moments would "
+                         "materialize Phi); recalibrate on a subsample "
+                         "instead")
     reduced = reduced_dim(D, S, M)
     if thetas.shape[-1] == reduced:
         # Phase-free draws (the default sampling space): phases are gauge,
@@ -132,6 +148,17 @@ def predictive_mixture(thetas, X, y, Xs, D, S, M, basis_fn=None,
         else:
             _, aux = loss_fn(p, X, y, basis_fn=basis_fn)
         mu, std = predict_f(p, aux.post, Xs, basis_fn=basis_fn)
+        if recalibrate:
+            # Same closed form as SCFGP.recalibrate_dispersion
+            # (models/model.py), per draw: sp_new = mean(resid^2 on train)
+            # / (1 + mean(train var_f)); rescale the predictive variance
+            # sp * (1 + var_f*) -> sp_new * (1 + var_f*).
+            sp = jax.nn.softplus(p.c)
+            mu_tr, std_tr = predict_f(p, aux.post, X, basis_fn=basis_fn)
+            var_f_tr = std_tr * std_tr / sp - 1.0
+            resid2 = jnp.mean((jnp.reshape(y, (-1,)) - mu_tr) ** 2)
+            sp_new = resid2 / (1.0 + jnp.mean(var_f_tr))
+            std = jnp.sqrt((std * std / sp) * sp_new)
         return mu, std
 
     n_draws = thetas.shape[0]

@@ -1386,11 +1386,18 @@ class SCFGP:
         std_y = 0.5 * (up - dn)
         return mu_y, std_y
 
-    def predict_bayes(self, Xs, ys=None):
+    def predict_bayes(self, Xs, ys=None, recalibrate: bool = False):
         """Posterior-predictive mean/std mixing over ``fit_bayes`` draws,
         in original units (law of total variance over hyperparameter
         samples; same un-scaling rule as ``predict``).  Logs the same
-        metric series as ``predict`` when ``ys`` is given."""
+        metric series as ``predict`` when ``ys`` is given.
+
+        ``recalibrate=True`` applies PER-DRAW dispersion recalibration
+        (the mixture analog of ``recalibrate_dispersion``; see
+        ``bayes/predictive.py::predictive_mixture``) — closes the
+        reference-faithful dispersion inflation on high-SNR data (the
+        round-4 co2 Bayes-arm MNLP gap, docs/RESULTS.md).  Opt-in to keep
+        the default reference-faithful."""
         from ..bayes.predictive import predictive_mixture
         if getattr(self, "thetas", None) is None:
             raise RuntimeError(
@@ -1406,7 +1413,8 @@ class SCFGP:
         mu_f, std_f = predictive_mixture(
             self.thetas, self.X, self.y, Xs_t, self.D, self.S, self.M,
             basis_fn=self.extra_basis,
-            streaming_block=getattr(self, "_bayes_streaming_block", 0))
+            streaming_block=getattr(self, "_bayes_streaming_block", 0),
+            recalibrate=recalibrate)
         mu_y, std_y = self._unscale_moments(mu_f, std_f)
         if ys is not None:
             ys = np.asarray(ys).reshape(-1, 1)
