@@ -1339,6 +1339,26 @@ class SCFGP:
         c_new = float(np.log(np.expm1(new_sp))) if new_sp < 30 else new_sp
         self.params = self.params._replace(
             c=jnp.asarray(c_new, self.params.c.dtype))
+        if self._ensemble is not None:
+            # fit_ensemble predictions mix ALL members — recalibrate each
+            # member's dispersion too (previously only self.params, i.e.
+            # the best member, was touched, so the mixture kept the
+            # inflated stds: co2 ensemble-arm MNLP stayed ~1.7 while the
+            # single-fit arm closed to 0.22, round-4 campaign).
+            members = []
+            for (mp, mpost) in self._ensemble:
+                mu_m, std_m = _jitted_predict(mp, mpost, self.X,
+                                              basis_fn=self.extra_basis)
+                sp_m = float(jnp.logaddexp(mp.c, 0.0))
+                var_m = np.asarray(std_m) ** 2 / sp_m - 1.0
+                r2 = float(np.mean((np.asarray(mu_m)
+                                    - np.asarray(self.y).reshape(-1)) ** 2))
+                sp_new = max(r2 / (1.0 + float(np.mean(var_m))), 1e-12)
+                cm = (float(np.log(np.expm1(sp_new))) if sp_new < 30
+                      else sp_new)
+                members.append((mp._replace(
+                    c=jnp.asarray(cm, mp.c.dtype)), mpost))
+            self._ensemble = members
         self._stats = None
         return self
 

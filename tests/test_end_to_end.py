@@ -321,3 +321,45 @@ def test_co2_bayes_predictive_recalibration_closes_mnlp():
     np.testing.assert_allclose(mu1, mu0, rtol=1e-6)     # points untouched
     assert r1["MNLP"] < 0.4, (r0["MNLP"], r1["MNLP"])   # measured 0.062
     assert r0["MNLP"] - r1["MNLP"] > 1.0                # measured 1.67 nats
+
+
+@pytest.mark.slow
+def test_co2_ensemble_recalibration_covers_all_members():
+    """recalibrate_dispersion() on a fit_ensemble model must recalibrate
+    EVERY member (the mixture previously kept the inflated stds of all
+    non-best members: co2 ensemble MNLP stayed ~1.7 while single fits
+    closed to 0.06 — round-4 campaign).  Measured here: 1.72 -> 0.062."""
+    import warnings
+    import jax.numpy as jnp
+    from scfgp_tpu.data.datasets import load_co2
+    from scfgp_tpu.utils.metrics import regression_metrics
+
+    Xt, yt, Xv, yv, meta = load_co2(seed=0)
+    omega = 2 * np.pi * (Xt.shape[0] + Xv.shape[0] - 1) / 12.0
+
+    def basis(Xs):
+        t = Xs[:, :1]
+        return jnp.concatenate(
+            [jnp.ones_like(t), t, t * t,
+             jnp.sin(omega * t), jnp.cos(omega * t),
+             jnp.sin(2 * omega * t), jnp.cos(2 * omega * t)], axis=1)
+
+    m = SCFGP(sparsity=10, nfeats=20, seed=0, X_scaling_method="min-max",
+              y_scaling_method="normal", extra_basis=basis)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m.fit_ensemble(Xt, yt, k=4, mix_best=2, obj="cost", max_iter=400,
+                       algo={"algo": "adamax",
+                             "algo_params": {"learning_rate": 0.05,
+                                             "beta1": 0.8, "beta2": 0.999,
+                                             "epsilon": 1e-8}},
+                       max_cvrg=60)
+    ys = np.asarray(yv).reshape(-1, 1)
+    mu0, std0 = m.predict(Xv)
+    m.recalibrate_dispersion()
+    mu1, std1 = m.predict(Xv)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), rtol=1e-6)
+    r0 = regression_metrics(mu0, std0, ys)
+    r1 = regression_metrics(mu1, std1, ys)
+    assert r1["MNLP"] < 0.4, (r0["MNLP"], r1["MNLP"])
+    assert r0["MNLP"] - r1["MNLP"] > 1.0
