@@ -82,9 +82,13 @@ def main():
             json.dump(out, f, indent=2)
         print(json.dumps({tag: rec}), flush=True)
 
+    # segment=25: at 12 rungs x 16 chains (192-wide) under honest f32 a
+    # step costs ~1.3 s — 50-step chunks sat at the ~100 s worker-kill
+    # edge and a fused warmup+segment program crossed it (worker crash,
+    # round 4); 25-step chunks + chunked warmup stay well under.
     run("tempered16", sampler="tempered", chains=16, num_warmup=w,
         num_samples=n, num_integration_steps=16, init_step_size=0.003,
-        max_rungs=12, segment=50)
+        max_rungs=12, segment=25)
     run("hmc_fleet32", sampler="hmc", chains=32, num_warmup=wh,
         num_samples=nh, num_integration_steps=16, init_step_size=0.003,
         shared_adaptation=False)

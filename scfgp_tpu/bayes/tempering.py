@@ -52,6 +52,10 @@ class TemperedHMCResult(NamedTuple):
     # tunneled TPU worker crashes on single XLA executions longer than
     # ~100 s, so long tempered runs must be chunked.
     final_positions: jax.Array = None
+    # ((T,)-shaped DualAveragingState, (T,P) WelfordState) adaptation carry
+    # after this call's warmup steps — pass back via ``warmup_state=`` to
+    # continue warmup across bounded executions (None if warmup skipped).
+    warmup_state: tuple = None
 
 
 def geometric_ladder(n_rungs: int, beta_min: float = 0.1,
@@ -119,7 +123,8 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
                         init_step_size: float = 0.01,
                         target_accept: float = 0.8,
                         init_all_rungs=None,
-                        adapted=None, step_offset=0) -> TemperedHMCResult:
+                        adapted=None, step_offset=0,
+                        warmup_state=None) -> TemperedHMCResult:
     """Replica-exchange HMC.  ``init_positions``: (C, P) cold-rung inits
     (replicated across rungs); ``logdensity_fn``: (P,) -> scalar.
 
@@ -248,14 +253,18 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
     n_total = num_warmup + num_samples
     keys = jax.random.split(key, n_total)
     steps = jnp.arange(n_total) + jnp.asarray(step_offset, jnp.int32)
+    out_warmup_state = None
     if adapted is not None:
         q = q0
         eps = jnp.asarray(adapted[0], dtype)
         inv_mass = jnp.asarray(adapted[1], dtype)
     else:
+        if warmup_state is not None:
+            da0, wf0 = warmup_state
         (q, da, wf), _ = jax.lax.scan(
             warmup_step, (q0, da0, wf0),
             (keys[:num_warmup], steps[:num_warmup]))
+        out_warmup_state = (da, wf)
         eps = jnp.exp(da.log_eps_avg)
         inv_mass = jax.vmap(welford_variance)(wf)
 
@@ -276,7 +285,7 @@ def tempered_hmc_sample(logdensity_fn: Callable, init_positions: jax.Array,
         samples=samples, logdensities=lds,
         accept_rate=jnp.mean(accs), swap_rate=jnp.mean(srates),
         step_sizes=eps, inv_mass=inv_mass, divergences=jnp.sum(divs),
-        final_positions=q)
+        final_positions=q, warmup_state=out_warmup_state)
 
 
 def tempered_hmc_sample_segmented(logdensity_fn: Callable,
@@ -295,45 +304,78 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
     executions beyond ~100 s (three kernel faults at 24/48-rung and
     400-draw tempered programs; 30 s programs run clean —
     docs/RESULTS.md), so the production path for big draw budgets is
-    warmup+first-segment, then continuation segments from
-    ``final_positions`` with adaptation frozen.  Two compiled programs
-    total, any number of segments; the concatenated chain is a valid
-    continuation of the same chain — the kernel is Markov, adaptation is
-    frozen after warmup, and the global step index (hence the DEO swap
-    parity) is threaded across segment boundaries via ``step_offset`` —
-    the only difference in law from one long scan is where the RNG keys
-    split."""
+    CHUNKED WARMUP (the per-rung dual-averaging + Welford adaptation
+    carry threads across bounded executions via ``warmup_state``; round
+    4: a fused 100-warmup+50-draw first program at 192 T*C width
+    exceeded the execution kill under honest f32), then sampling
+    segments from ``final_positions`` with adaptation frozen.  Three
+    compiled programs total (warmup chunk, odd warmup tail, sampling
+    segment), any number of chunks; the concatenated chain is a valid
+    continuation of the same chain — the kernel is Markov, every piece
+    of adaptation state is carried exactly, and the global step index
+    (hence the DEO swap parity) is threaded across boundaries via
+    ``step_offset`` — the only difference in law from one long scan is
+    where the RNG keys split."""
     import numpy as np
 
     n_seg = -(-num_samples // segment)
     # betas ride as TRACED arguments: ladders differ per dataset/seed in
     # VALUES far more often than in length, and closing them over would
-    # recompile both segment programs for every new ladder (measured
+    # recompile the segment programs for every new ladder (measured
     # minutes per seed on the remote-compile TPU service).
     betas = jnp.asarray(betas)
-    first_fn = (jax.jit if jit else (lambda f: f))(
-        lambda q, k, b: tempered_hmc_sample(
-            logdensity_fn, q, k, betas=b, num_warmup=num_warmup,
-            num_samples=segment,
-            num_integration_steps=num_integration_steps,
-            init_step_size=init_step_size, target_accept=target_accept))
-    first = first_fn(init_positions, jax.random.fold_in(key, 0), betas)
-    cont = (jax.jit if jit else (lambda f: f))(
-        lambda q_all, k, b, eps, im, off: tempered_hmc_sample(
+    wrap = jax.jit if jit else (lambda f: f)
+
+    # -- warmup in bounded chunks -------------------------------------------
+    warm_sizes = [segment] * (num_warmup // segment)
+    if num_warmup % segment:
+        warm_sizes.append(num_warmup % segment)
+    warm_progs = {}
+
+    def warm_chunk(qa, k, b, st, off, n):
+        prog = warm_progs.get((n, st is None))
+        if prog is None:
+            prog = wrap(lambda qa_, k_, b_, st_, off_: tempered_hmc_sample(
+                logdensity_fn, init_positions, k_, betas=b_, num_warmup=n,
+                num_samples=0,
+                num_integration_steps=num_integration_steps,
+                init_step_size=init_step_size,
+                target_accept=target_accept, init_all_rungs=qa_,
+                warmup_state=st_, step_offset=off_))
+            warm_progs[(n, st is None)] = prog
+        return prog(qa, k, b, st, off)
+
+    q_all = None
+    state = None
+    off = 0
+    rw = None
+    for i, n in enumerate(warm_sizes):
+        rw = warm_chunk(q_all, jax.random.fold_in(key, 1000 + i), betas,
+                        state, jnp.asarray(off, jnp.int32), n)
+        q_all = rw.final_positions
+        state = rw.warmup_state
+        np.asarray(q_all)  # host readback bounds the execution
+        off += n
+    if rw is not None:
+        eps, im = rw.step_sizes, rw.inv_mass
+    else:  # num_warmup == 0: init_step_size + unit mass, like one-shot
+        rw = warm_chunk(None, jax.random.fold_in(key, 999), betas, None,
+                        jnp.asarray(0, jnp.int32), 0)
+        q_all = rw.final_positions
+        eps, im = rw.step_sizes, rw.inv_mass
+
+    # -- sampling segments with adaptation frozen ---------------------------
+    cont = wrap(
+        lambda qa, k, b, eps_, im_, off_: tempered_hmc_sample(
             logdensity_fn, init_positions, k, betas=b,
             num_warmup=0, num_samples=segment,
             num_integration_steps=num_integration_steps,
             init_step_size=init_step_size, target_accept=target_accept,
-            init_all_rungs=q_all, adapted=(eps, im), step_offset=off))
-    samples = [np.asarray(first.samples)]
-    lds = [np.asarray(first.logdensities)]
-    accs, srates, divs = [float(first.accept_rate)], \
-        [float(first.swap_rate)], [int(first.divergences)]
-    q_all = first.final_positions
-    for s in range(1, n_seg):
-        r = cont(q_all, jax.random.fold_in(key, s), betas,
-                 first.step_sizes, first.inv_mass,
-                 jnp.asarray(num_warmup + s * segment, jnp.int32))
+            init_all_rungs=qa, adapted=(eps_, im_), step_offset=off_))
+    samples, lds, accs, srates, divs = [], [], [], [], []
+    for s_i in range(n_seg):
+        r = cont(q_all, jax.random.fold_in(key, s_i), betas, eps, im,
+                 jnp.asarray(off + s_i * segment, jnp.int32))
         samples.append(np.asarray(r.samples))   # readback bounds execution
         lds.append(np.asarray(r.logdensities))
         accs.append(float(r.accept_rate))
@@ -345,5 +387,5 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
         logdensities=jnp.asarray(np.concatenate(lds)[:num_samples]),
         accept_rate=jnp.asarray(np.mean(accs)),
         swap_rate=jnp.asarray(np.mean(srates)),
-        step_sizes=first.step_sizes, inv_mass=first.inv_mass,
+        step_sizes=eps, inv_mass=im,
         divergences=jnp.asarray(sum(divs)), final_positions=q_all)

@@ -387,14 +387,16 @@ def _estimate_bayes_device_seconds(sampler, n_rows, two_k, chains, rungs,
 
       * FLOP-bound: value_and_grad of the posterior ~ 3x forward, forward
         dominated by the 2*N*K^2 Gram -> ~6*N*K^2 flops per chain-gradient,
-        at an assumed 30 TFLOP/s sustained (~15% v5e MFU — bench.py
-        measured 17.7%; underestimating throughput over-segments, which is
-        the safe direction);
+        at an assumed 2 TFLOP/s sustained — CALIBRATED to the measured
+        honest-f32 sampler throughput (round-4 kin8nm campaign: the
+        tempered 96-wide leg ran 3.8e14 nominal flops in ~190 s; the
+        6-pass f32 MXU lowering makes small-K GEMM stages run far below
+        peak, and a 30 TFLOP/s assumption under-segmented by 15x and
+        crashed the worker on the 192-wide tempered probe);
       * latency-bound (small problems): ~0.15 ms per fused gradient batch.
 
-    An order-of-magnitude guard, not a profiler — exact within ~3x on the
-    round-3 measurements (e.g. fused HMC 355.8 draws/s at L=16 -> 0.165 ms
-    per gradient batch)."""
+    Underestimating throughput over-segments — the safe direction.  An
+    order-of-magnitude guard, not a profiler."""
     if sampler == "hmc":
         ge_per_step = L + 1
     elif sampler == "nuts":
@@ -410,7 +412,7 @@ def _estimate_bayes_device_seconds(sampler, n_rows, two_k, chains, rungs,
     width = chains * (rungs if sampler == "tempered" else 1)
     batches = steps * ge_per_step
     flops = batches * width * 6.0 * rows * float(two_k) ** 2
-    return max(flops / 30e12, batches * 1.5e-4)
+    return max(flops / 2e12, batches * 1.5e-4)
 
 
 class SCFGP:
