@@ -1018,12 +1018,17 @@ class SCFGP:
         cross-basin min-ESS tracks #CHAINS at every committed budget
         (each chain ~ 1 effective cross-basin draw; replica exchange
         cannot beat chain count at buying ESS at <= ~800 device-seconds
-        on the dim-1163 posterior) — spend device-seconds on more chains
-        for ESS-style guarantees.  For PREDICTIVE quality on multimodal
-        posteriors, ``sampler="tempered"`` is the measured winner
-        (kin8nm: NMSE 2.35x floor / MNLP -1.61, beating every committed
-        point-estimate recipe), with MAP-warm ``"hmc"`` getting ~2/3 of
-        the win at ~1/4 the seconds.
+        on the dim-1163 posterior) — spend device-seconds on more chains.
+        For PREDICTIVE quality on multimodal posteriors the measured
+        production recipe is the random-init chain FLEET:
+        ``sampler="hmc", chains=32, shared_adaptation=False`` matches the
+        tempered sampler's best committed result (kin8nm NMSE ~2.2x
+        floor / MNLP -1.62, beating every point-estimate recipe) at ~60%
+        of its wall with zero divergences — basin COVERAGE is what buys
+        quality, the mechanism doesn't matter
+        (results/bayes_predictive/kin8nm_probe.json).  Keep
+        ``"tempered"`` for when within-run cross-basin mixing itself is
+        the question.
 
         Sampling runs in the phase-free reduced space (phases are pure
         gauge — see ``bayes/predictive.py::make_logposterior``).
