@@ -13,7 +13,11 @@ seed-0 split:
                coverage + per-chain health enough?
 
 Usage: python experiments/kin8nm_bayes_probe.py [--cpu] [--quick]
-Writes experiments/results/bayes_predictive/kin8nm_probe.json.
+           [--dataset kin8nm|boston] [--skip-tempered]
+Writes experiments/results/bayes_predictive/<dataset>_probe.json.
+``--dataset boston`` asks the fleet question on the campaign's negative
+(ensemble 0.372 beat every Bayes arm there): does brute basin coverage
+with per-chain health change the verdict?
 """
 
 import argparse
@@ -29,18 +33,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dataset", default="kin8nm",
+                    choices=["kin8nm", "boston"])
+    ap.add_argument("--skip-tempered", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
     from scfgp_tpu import SCFGP
-    from scfgp_tpu.data.datasets import load_kin8nm, surrogate_floor
+    from scfgp_tpu.data.datasets import (load_boston, load_kin8nm,
+                                         surrogate_floor)
     from scfgp_tpu.utils.metrics import regression_metrics
 
-    Xt, yt, Xv, yv, meta = load_kin8nm(seed=0)
+    loader = {"kin8nm": load_kin8nm, "boston": load_boston}[args.dataset]
+    Xt, yt, Xv, yv, meta = loader(seed=0)
     ys = np.asarray(yv).reshape(-1, 1)
-    floor = (surrogate_floor("kin8nm", Xv, yv)["NMSE"]
+    floor = (surrogate_floor(meta["name"], Xv, yv)["NMSE"]
              if meta["source"] == "synthetic-surrogate" else None)
     S, M = 20, 50
     w, n = (30, 30) if args.quick else (100, 200)
@@ -54,7 +63,7 @@ def main():
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "results", "bayes_predictive")
     os.makedirs(outdir, exist_ok=True)
-    outpath = os.path.join(outdir, "kin8nm_probe.json")
+    outpath = os.path.join(outdir, f"{args.dataset}_probe.json")
 
     def run(tag, **kw):
         import warnings
@@ -86,9 +95,10 @@ def main():
     # step costs ~1.3 s — 50-step chunks sat at the ~100 s worker-kill
     # edge and a fused warmup+segment program crossed it (worker crash,
     # round 4); 25-step chunks + chunked warmup stay well under.
-    run("tempered16", sampler="tempered", chains=16, num_warmup=w,
-        num_samples=n, num_integration_steps=16, init_step_size=0.003,
-        max_rungs=12, segment=25)
+    if not args.skip_tempered:
+        run("tempered16", sampler="tempered", chains=16, num_warmup=w,
+            num_samples=n, num_integration_steps=16, init_step_size=0.003,
+            max_rungs=12, segment=25)
     run("hmc_fleet32", sampler="hmc", chains=32, num_warmup=wh,
         num_samples=nh, num_integration_steps=16, init_step_size=0.003,
         shared_adaptation=False)
