@@ -158,8 +158,10 @@ def main():
     # -- leg 2: many-chains plain HMC at equal device-seconds ---------------
     # 64 random inits (8x the basin coverage), own warmup, then sampling
     # continuation chunks until the tempered leg's wall budget is spent.
-    tag_p = f"plain-{args.plain_chains}c-equal-time"
-    if tag_p not in results["legs"]:
+    # Run twice: shared adaptation (the round-4 first pass, which
+    # collapsed to 0.008 acceptance) and per-chain fleet adaptation
+    # (shared_adaptation=False — the fix built from that failure).
+    def plain_leg(tag_p, shared):
         keys = jax.random.split(jax.random.PRNGKey(5), args.plain_chains)
         init_many = jnp.stack([pack_params(
             init_params(k, D, S, M, jnp.float32))[:P] for k in keys])
@@ -167,7 +169,8 @@ def main():
         t_start = time.time()
         warm_prog = jax.jit(lambda q, k: hmc_sample(
             logpost, q, k, num_warmup=args.warmup, num_samples=1,
-            num_integration_steps=16, init_step_size=0.003))
+            num_integration_steps=16, init_step_size=0.003,
+            shared_adaptation=shared))
         r0 = warm_prog(init_many, jax.random.PRNGKey(12))
         np.asarray(r0.samples)  # readback
         q = r0.final_positions
@@ -196,6 +199,7 @@ def main():
         draws = np.concatenate(chunks)
         leg = score(draws, np.concatenate(lds), ndiv, wall,
                     {"kind": "plain-many-chains",
+                     "shared_adaptation": shared,
                      "accept_rate": round(float(r.accept_rate), 3),
                      "budget_from": tag_t,
                      "budget_s": round(budget, 1)})
@@ -203,9 +207,16 @@ def main():
         save()
         print(json.dumps({tag_p: leg}), flush=True)
 
+    tag_p = f"plain-{args.plain_chains}c-equal-time"
+    if tag_p not in results["legs"]:
+        plain_leg(tag_p, True)
+    tag_f = f"plain-{args.plain_chains}c-fleet-equal-time"
+    if tag_f not in results["legs"]:
+        plain_leg(tag_f, False)
+
     # -- verdict line --------------------------------------------------------
     lt = results["legs"][tag_t]
-    lp = results["legs"][tag_p]
+    lp = results["legs"].get(tag_f, results["legs"][tag_p])
     verdict = {
         "criterion": "min_ess_bulk >> chains (8) for tempered",
         "tempered_min_ess_bulk": lt["min_ess_bulk"],
