@@ -20,9 +20,13 @@ generalizes it to plain HMC, static NUTS, and SGLD (VERDICT r3 item 7):
 
 Chunked == one-shot in law: the kernels are Markov and every piece of
 adaptation state is carried exactly; the only difference is where the RNG
-keys split (each chunk folds the master key).  At most three compiled
+keys split (each chunk folds the master key).  At most four compiled
 programs per sampler config (warmup chunk, odd-sized warmup tail,
-sampling chunk) regardless of the number of segments.
+sampling chunk, odd-sized sampling tail) regardless of the number of
+segments — the tail chunk compiles at its exact remainder size, so the
+chain advances through precisely ``num_samples`` draws and
+``final_positions``/``accept_rate``/``divergences`` describe exactly the
+draws the caller receives (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -86,27 +90,61 @@ def _segmented_hmc_like(sample_fn: Callable, result_cls, init_positions,
         eps, inv_mass = r.step_size, r.inv_mass
         i += 1
 
-    sample_prog = wrap(lambda q_, k_, e_, im_: sample_fn(
-        q_, k_, num_warmup=0, num_samples=min(segment, num_samples),
-        adapted=(e_, im_), **{k: v for k, v in kw.items()
-                              if k != "adapted"}))
-    samples, lds, accs, divs = [], [], [], []
+    C, P = np.shape(init_positions)
+    dt = jnp.asarray(init_positions).dtype
+    if num_samples == 0:
+        # Pure-warmup call (mirrors the one-shot samplers' num_samples=0
+        # path): empty draw arrays, warmup-derived adaptation + positions.
+        extra = ({"mean_depth": jnp.asarray(np.nan, dt)}
+                 if result_cls is NUTSResult else {})
+        return result_cls(
+            samples=jnp.zeros((0, C, P), dt),
+            logdensities=jnp.zeros((0, C), dt),
+            accept_rate=jnp.asarray(np.nan, dt),
+            step_size=eps, inv_mass=inv_mass,
+            divergences=jnp.asarray(0, jnp.int32),
+            final_positions=q,
+            warmup_state=None if r is None else r.warmup_state, **extra)
+
+    kw_sample = {k: v for k, v in kw.items() if k != "adapted"}
+    sample_progs = {}
+
+    def sample_chunk(q_, k_, e_, im_, n):
+        # Tail chunks compile at their EXACT remainder size — the chain
+        # never advances through draws the caller doesn't receive, so
+        # final_positions/accept_rate/divergences describe exactly the
+        # returned draws (ADVICE r4).  Two programs max: segment + tail.
+        prog = sample_progs.get(n)
+        if prog is None:
+            prog = wrap(lambda q2, k2, e2, im2: sample_fn(
+                q2, k2, num_warmup=0, num_samples=n, adapted=(e2, im2),
+                **kw_sample))
+            sample_progs[n] = prog
+        return prog(q_, k_, e_, im_)
+
+    samples, lds, accs, divs, depths, sizes = [], [], [], [], [], []
     remaining = num_samples
     while remaining > 0:
-        r = sample_prog(q, jax.random.fold_in(key, i), eps, inv_mass)
+        n = min(segment, remaining)
+        r = sample_chunk(q, jax.random.fold_in(key, i), eps, inv_mass, n)
         samples.append(np.asarray(r.samples))  # readback bounds execution
         lds.append(np.asarray(r.logdensities))
         accs.append(float(r.accept_rate))
         divs.append(int(r.divergences))
+        if result_cls is NUTSResult:
+            depths.append(float(r.mean_depth))
+        sizes.append(n)
         q = r.final_positions
-        remaining -= r.samples.shape[0]
+        remaining -= n
         i += 1
-    extra = ({"mean_depth": r.mean_depth} if result_cls is NUTSResult
-             else {})
+    # Draw-weighted chunk aggregation: an unweighted mean would bias the
+    # reported rates toward small tail chunks (ADVICE r4).
+    extra = ({"mean_depth": jnp.asarray(np.average(depths, weights=sizes))}
+             if result_cls is NUTSResult else {})
     return result_cls(
-        samples=jnp.asarray(np.concatenate(samples)[:num_samples]),
-        logdensities=jnp.asarray(np.concatenate(lds)[:num_samples]),
-        accept_rate=jnp.asarray(np.mean(accs)),
+        samples=jnp.asarray(np.concatenate(samples)),
+        logdensities=jnp.asarray(np.concatenate(lds)),
+        accept_rate=jnp.asarray(np.average(accs, weights=sizes)),
         step_size=eps, inv_mass=inv_mass,
         divergences=jnp.asarray(sum(divs), jnp.int32),
         final_positions=q, **extra)
@@ -187,6 +225,27 @@ def sgld_sample_segmented(value_and_grad_fn: Callable, init_positions, key,
         np.asarray(q)  # readback bounds the execution
         warm_left -= n
         i += 1
+
+    if num_samples == 0:
+        # Pure-warmup call (ADVICE r4: previously crashed on r.step_size /
+        # np.concatenate([])): run the warmup remainder as one bounded
+        # emit-1-drop-it program and return empty draw arrays with the
+        # exact carry.  warm_left > 0 whenever num_warmup > 0 (the chunk
+        # loop above only strictly-undershoots).
+        if num_warmup == 0:
+            raise ValueError("sgld_sample_segmented: num_warmup == 0 and "
+                             "num_samples == 0 — nothing to run")
+        prog = wrap(lambda q_, k_, c_: sgld_sample(
+            value_and_grad_fn, q_, k_, num_warmup=warm_left - 1,
+            num_samples=1, init_carry=c_, **{**common, "thin": 1}))
+        r = prog(q, jax.random.fold_in(key, i), carry)
+        carry = r.final_carry
+        C, P = np.shape(init_positions)
+        dt = jnp.asarray(init_positions).dtype
+        return SGLDResult(samples=jnp.zeros((0, C, P), dt),
+                          logdensities=jnp.zeros((0, C), dt),
+                          step_size=r.step_size, precond=r.precond,
+                          nonfinite=carry[3], final_carry=carry)
 
     samples, lds = [], []
     remaining = num_samples

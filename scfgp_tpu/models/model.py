@@ -1080,11 +1080,18 @@ class SCFGP:
                    init_step_size=float(init_step_size), depth=depth,
                    target_accept=float(target_accept), mm_dtype=mm,
                    shared_adaptation=bool(shared_adaptation))
+        # SGLD runs num_samples * thin device STEPS (on-device thinning);
+        # every other sampler emits num_samples draws and thins on host.
+        # Capture the real thin BEFORE the sgld branch resets the local —
+        # the segmentation estimate below must count device steps, not kept
+        # draws (ADVICE r4: a thinned SGLD campaign run under-segmented by
+        # the thin factor, risking the ~100 s worker kill).
+        thin_eff = max(thin, 1) if sampler == "sgld" else 1
         if sampler == "sgld":
             # SGLD thins on-device inside the scan (num_samples = KEPT
             # draws); the common host-side thinning below must not re-thin.
             cfg.update(batch_size=int(batch_size),
-                       step_decay=float(step_decay), thin=max(thin, 1))
+                       step_decay=float(step_decay), thin=thin_eff)
             thin = 1
 
         if sampler == "tempered" and betas is None:
@@ -1118,7 +1125,7 @@ class SCFGP:
             len(betas) if sampler == "tempered" and betas is not None
             else max_rungs,
             num_warmup, num_samples, num_integration_steps, depth,
-            max(thin, 1), batch_size)
+            thin_eff, batch_size)
         if segment == 0 and jax.default_backend() != "cpu" and est_s > 60.0:
             if sampler == "vi":
                 import warnings
@@ -1129,8 +1136,12 @@ class SCFGP:
                     "steps) if the worker crashes." % est_s, stacklevel=2)
             else:
                 # Per-step estimate sizes segments to ~30 s of device time.
-                per_draw = est_s / max(num_warmup + num_samples
-                                       * max(thin, 1), 1)
+                # ``segment`` counts KEPT draws; an SGLD chunk runs
+                # segment * thin device steps, so each kept draw costs
+                # thin_eff steps (ADVICE r4).
+                per_step = est_s / max(num_warmup + num_samples
+                                       * thin_eff, 1)
+                per_draw = per_step * thin_eff
                 segment = int(min(num_samples,
                                   max(10, 30.0 / max(per_draw, 1e-9))))
                 self.message("fit_bayes(%s): est %.0f s one-shot — "
@@ -1140,7 +1151,13 @@ class SCFGP:
             segment = 0
 
         t0 = time.time()
-        if sampler == "tempered" and segment and segment < num_samples:
+        if sampler == "tempered" and segment and (
+                segment < num_samples or segment < num_warmup):
+            # Same gate as the hmc/nuts path: a warmup-dominated tempered
+            # run (num_warmup >> num_samples) must also chunk — the fused
+            # one-shot runner would put all warmup in ONE XLA execution,
+            # exactly the >100 s program class tempered_hmc_sample_
+            # segmented's chunked warmup exists to avoid (ADVICE r4).
             # Bounded-execution mode for long runs: this environment's TPU
             # relay kills single XLA executions past ~100 s (CLAUDE.md);
             # segments continue the chain exactly from final_positions.

@@ -106,6 +106,63 @@ def test_sgld_segmented_continues_schedule_and_preconditioner():
         np.testing.assert_allclose(draws.mean(0), np.asarray(mu), atol=0.35)
 
 
+def test_segmented_tail_is_exact():
+    """ADVICE r4: when num_samples is not a multiple of segment, the tail
+    chunk must run at its exact remainder size — the chain advances
+    through precisely the returned draws, so final_positions IS the last
+    returned draw (previously the chain silently advanced through
+    truncated overshoot draws)."""
+    init = _init(chains=4, seed=5)
+    seg = hmc_sample_segmented(gauss_logpdf, init, jax.random.PRNGKey(5),
+                               num_warmup=50, num_samples=250, segment=100,
+                               num_integration_steps=4, init_step_size=0.2)
+    assert seg.samples.shape == (250, 4, 3)
+    np.testing.assert_array_equal(np.asarray(seg.final_positions),
+                                  np.asarray(seg.samples)[-1])
+
+
+def test_segmented_num_samples_zero_is_pure_warmup():
+    """ADVICE r4: num_samples=0 is a pure-warmup call (like the one-shot
+    samplers), not a crash — empty draw arrays, warmup-derived state."""
+    init = _init(chains=3, seed=6)
+    r = hmc_sample_segmented(gauss_logpdf, init, jax.random.PRNGKey(6),
+                             num_warmup=60, num_samples=0, segment=25,
+                             num_integration_steps=4, init_step_size=0.2)
+    assert r.samples.shape == (0, 3, 3)
+    assert r.logdensities.shape == (0, 3)
+    assert float(r.step_size) > 0
+    assert r.final_positions.shape == init.shape
+    assert r.warmup_state is not None
+
+    def lp(q):
+        return -0.5 * jnp.sum(q ** 2)
+
+    vgf = lambda q, k: jax.vmap(jax.value_and_grad(lp))(q)
+    rs = sgld_sample_segmented(vgf, jnp.zeros((3, 2), jnp.float32),
+                               jax.random.PRNGKey(7), num_warmup=50,
+                               num_samples=0, segment=20, step_size=0.05)
+    assert rs.samples.shape == (0, 3, 2)
+    assert rs.final_carry is not None
+    import pytest
+    with pytest.raises(ValueError):
+        sgld_sample_segmented(vgf, jnp.zeros((3, 2), jnp.float32),
+                              jax.random.PRNGKey(8), num_warmup=0,
+                              num_samples=0, segment=20)
+
+
+def test_segmented_rates_are_draw_weighted():
+    """ADVICE r4: chunk rates aggregate weighted by draws per chunk."""
+    init = _init(chains=4, seed=7)
+    seg = nuts_sample_static_segmented(gauss_logpdf, init,
+                                       jax.random.PRNGKey(9),
+                                       num_warmup=60, num_samples=130,
+                                       segment=100, depth=3,
+                                       init_step_size=0.2)
+    assert seg.samples.shape == (130, 4, 3)
+    assert 0.0 <= float(seg.accept_rate) <= 1.0
+    assert float(seg.mean_depth) == 3.0  # static sampler: constant depth
+
+
 def test_sgld_segmented_chunked_warmup():
     mu = jnp.asarray([0.5, -0.5])
 

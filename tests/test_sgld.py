@@ -196,6 +196,76 @@ def test_fit_bayes_tempered_segmented():
     assert np.isfinite(np.asarray(mu)).all()
 
 
+def test_fit_bayes_tempered_segments_warmup_dominated(monkeypatch):
+    """ADVICE r4 medium: an explicit segment below num_warmup (even when
+    >= num_samples) must route through the chunked-warmup segmented path —
+    the fused one-shot runner would put all warmup in ONE XLA execution,
+    the >100 s program class the chunking exists to avoid."""
+    import scfgp_tpu.bayes.tempering as tempering
+    from scfgp_tpu import SCFGP
+
+    called = {}
+    real = tempering.tempered_hmc_sample_segmented
+
+    def spy(*a, **kw):
+        called["kw"] = kw
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tempering, "tempered_hmc_sample_segmented", spy)
+    rng = np.random.RandomState(3)
+    X = rng.rand(150, 1) * 10
+    y = np.sin(X[:, 0]) + 0.1 * rng.randn(150)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m.fit_bayes(X, y, sampler="tempered", chains=2, num_warmup=40,
+                    num_samples=10, segment=15)
+    assert called, "warmup-dominated tempered run must use the segmented path"
+    assert m.thetas.shape[0] == 10 * 2
+
+
+def test_fit_bayes_sgld_autosegment_counts_thin(monkeypatch):
+    """ADVICE r4 medium: the auto-segmentation guard must count SGLD
+    device STEPS (num_samples * thin), not kept draws — both in the
+    device-seconds estimate and in the per-kept-draw segment sizing."""
+    import scfgp_tpu.models.model as mm
+    import scfgp_tpu.bayes.segmented as seg_mod
+    from scfgp_tpu import SCFGP
+
+    seen = {}
+
+    def fake_est(sampler, n_rows, two_k, chains, rungs, num_warmup,
+                 num_samples, L, depth, thin, batch_size):
+        seen["thin"] = thin
+        return 120.0  # force the auto-segmentation branch
+
+    real_seg = seg_mod.sgld_sample_segmented
+
+    def spy(*a, **kw):
+        seen["segment"] = kw.get("segment")
+        return real_seg(*a, **kw)
+
+    monkeypatch.setattr(mm, "_estimate_bayes_device_seconds", fake_est)
+    monkeypatch.setattr(mm.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(seg_mod, "sgld_sample_segmented", spy)
+    rng = np.random.RandomState(4)
+    X = rng.rand(150, 1) * 10
+    y = np.sin(X[:, 0]) + 0.1 * rng.randn(150)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m.fit_bayes(X, y, sampler="sgld", chains=2, num_warmup=20,
+                    num_samples=40, thin=4, init_step_size=1e-4)
+    # estimate saw the REAL thin (4), and the segment was sized per KEPT
+    # draw: 120 s / (20 + 40*4 steps) * 4 steps/draw = 2.67 s/draw
+    # -> floor(30 / 2.67) = 11 draws per bounded execution.
+    assert seen["thin"] == 4
+    assert seen["segment"] == 11
+    assert m.thetas.shape[0] == 40 * 2
+
+
 def test_sgld_nan_chain_does_not_poison_shared_preconditioner():
     """One chain with a permanently non-finite gradient must not freeze the
     other chains: non-finite gradients are masked OUT of the shared pSGLD
