@@ -7,14 +7,16 @@ features), steps chained inside one jit via lax.scan so dispatch latency is
 excluded, timed to a HOST READBACK (the tunneled TPU's block_until_ready can
 return before execution finishes — CLAUDE.md).
 
-Legs: "auto" (primary/headline — the measured-dispatch configuration
-``SCFGP(mm_dtype="auto")`` actually ships, ops/dispatch.py; resolves to
-HONEST f32 at this shape — since round 4 the package forces
-``jax_default_matmul_precision="highest"`` because jax's default lowered
-f32 TPU dots to single-pass bf16, which broke the co2 composite fit; the
-"f32_mxu_default" context leg measures the old fake-f32 arithmetic for
-continuity with rounds 1-3), bf16-MXU GEMMs, Pallas fused feature map.
-FLOPs per step
+Legs: "auto" (primary/headline — the dispatch-resolved configuration a
+default ``SCFGP()`` ships: mm_dtype auto -> f32 inputs at this shape, and
+since round 5 mm_precision auto -> 'default' = 1-PASS MXU f32 on the two
+O(N K^2) GEMMs, the quality-gated recovery of the round-4 honest-f32 tax —
+ops/dispatch.py::resolve_mm_precision; composite models keep 6-pass true
+f32), "f32" (mm_precision=None: the global-'highest' honest-f32 arithmetic,
+round-4's shipped default), bf16-MXU GEMMs, Pallas fused feature map, and
+"f32_mxu_default" (global 1-pass context — the rounds-1-3 continuity leg;
+should now track "auto" closely since auto dispatches the dominant GEMMs
+to the same pass count).  FLOPs per step
 come from XLA's own cost analysis of the compiled program, so the printed
 MFU = flops * steps/s / v5e-bf16-peak is the compiler's count, not a hand
 estimate.
@@ -66,10 +68,11 @@ params = init_params(jax.random.PRNGKey(0), D, S, M, jnp.float32)
 tx = make_optimizer("adam", {"learning_rate": 0.01})
 opt_state = tx.init(params)
 
-def make_run(feature_impl, mm_dtype):
+def make_run(feature_impl, mm_dtype, mm_precision=None):
     vg = jax.value_and_grad(
         lambda p, X_, y_: loss_fn(p, X_, y_, feature_impl=feature_impl,
-                                  mm_dtype=mm_dtype)[0])
+                                  mm_dtype=mm_dtype,
+                                  mm_precision=mm_precision)[0])
 
     def one(carry, _):
         p, st = carry
@@ -101,13 +104,15 @@ def measure(run):
     rates.sort()
     return rates[len(rates) // 2]
 
-from scfgp_tpu.ops.dispatch import resolve_mm_dtype
+from scfgp_tpu.ops.dispatch import resolve_mm_dtype, resolve_mm_precision
 legs = {}
-# Headline: the dispatch-resolved configuration SCFGP(mm_dtype="auto")
-# ships (f32 at this N*(2K)^2; see ops/dispatch.py's measured table).
+# Headline: the dispatch-resolved configuration a DEFAULT SCFGP() ships —
+# mm_dtype "auto" (f32 inputs at this N*(2K)^2) + mm_precision "auto"
+# (1-pass MXU on the two big GEMMs; ops/dispatch.py).
 auto_mm = resolve_mm_dtype("auto", N, 500)
-legs["auto"] = measure(make_run("xla", auto_mm))
-auto_name = "bf16" if auto_mm is not None else "f32"
+auto_mp = resolve_mm_precision("auto")
+legs["auto"] = measure(make_run("xla", auto_mm, auto_mp))
+auto_name = "bf16" if auto_mm is not None else None  # auto != plain f32 now
 # XLA's own FLOP count of ONE step (un-scanned single jit: loop-body flop
 # accounting differs across backends, a single program is unambiguous).
 try:
@@ -141,7 +146,10 @@ for name, impl, mm in (("f32", "xla", None),
     finally:
         if name == "f32_mxu_default":
             jax.config.update("jax_default_matmul_precision", "highest")
-print(json.dumps({"legs": legs, "auto_resolved": auto_name,
+print(json.dumps({"legs": legs,
+                  "auto_resolved": auto_name or ("f32_1pass"
+                                                 if auto_mp == "default"
+                                                 else "f32"),
                   "flops_per_step": flops_per_step,
                   "backend": jax.default_backend()}))
 """
@@ -181,13 +189,14 @@ def main():
            if not cpu_fallback else 0.0)
     extra = ", ".join(f"{k} {x:.0f}/s" for k, x in legs.items()
                       if k not in ("auto", auto_name) and x)
-    unit = (f"evals/s (N=8192, 2(S+M)=500, mm_dtype=auto->{auto_name}, "
+    unit = (f"evals/s (N=8192, 2(S+M)=500, dispatch auto->{auto_name}, "
             f"median-of-3 sequences, {ms_step:.2f} ms/step"
             + (f", MFU {mfu:.1%}" if mfu else "")
             + (f"; {extra}" if extra else "")
-            + "; honest-f32 headline since r04 (prior rounds' f32 was"
-              " bf16-pass: see f32_mxu_default leg); chip drifts ~±20%"
-              " across sessions: r02 1642, r03 1328)")
+            + "; r05 headline = shipped quality-gated dispatch (1-pass MXU"
+              " GEMMs for non-composite fits, results/precision_quality"
+              ".json); the f32 leg is the r04 global-highest arithmetic;"
+              " chip drifts ~±20% across sessions: r02 1642, r03 1328)")
     if cpu_fallback:
         unit = "evals/s (CPU FALLBACK - TPU unresponsive; " + unit[9:]
     print(json.dumps({

@@ -13,7 +13,11 @@ trace this times each pipeline stage as its own scan-chained jitted program
 
 Stage times cannot be read as an exact partition of the step (XLA fuses
 across stage boundaries in the full program), but they bound which stage is
-the roofline.  argv: [N D S M STEPS], defaults to the bench config.
+the roofline.  argv: [N D S M STEPS], defaults to the bench config; an
+extra ``prec=default`` / ``prec=highest`` token selects the per-dot
+mm_precision the stages run under (round 5: ``prec=default`` IS the
+shipped non-composite dispatch, ``prec=highest`` the r04 honest-f32
+global default — ops/dispatch.py).
 
 Run alone — one TPU client at a time (CLAUDE.md).
 """
@@ -27,6 +31,12 @@ import jax
 if "cpu" in sys.argv:  # validation mode (JAX_PLATFORMS env is ignored here)
     sys.argv.remove("cpu")
     jax.config.update("jax_platforms", "cpu")
+
+MP = None  # per-dot mm_precision for the dispatched GEMMs (None = global)
+for _a in list(sys.argv):
+    if _a.startswith("prec="):
+        MP = _a.split("=", 1)[1]
+        sys.argv.remove(_a)
 
 import jax.numpy as jnp
 import numpy as np
@@ -104,22 +114,26 @@ def timed(name, fn):
 
 
 def step_fn(p, st):
-    vg = jax.value_and_grad(lambda q: obj.loss_fn(q, X, y)[0])
+    vg = jax.value_and_grad(lambda q: obj.loss_fn(q, X, y,
+                                                  mm_precision=MP)[0])
     cost, g = vg(p)
     delta, st = tx.update(g, st, p)
     return tree_add(p, delta), st, cost
 
 
 print("backend:", jax.default_backend(), "config:",
-      {"N": N, "D": D, "S": S, "M": M}, flush=True)
+      {"N": N, "D": D, "S": S, "M": M, "mm_precision": MP}, flush=True)
 timed("phi", lambda e: obj.fourier_features(params, X + e))
-timed("gram", lambda e: obj.sufficient_stats(Phi_const + e, y))
+timed("gram", lambda e: obj.sufficient_stats(Phi_const + e, y,
+                                             mm_precision=MP))
 timed("chol", lambda e: obj.solve_posterior(
     obj.SufficientStats(stats_const.phiTphi + e, stats_const.phiTy,
                         stats_const.yTy, stats_const.n),
     jnp.exp(2.0 * params.a)))
-timed("latent", lambda e: obj.latent_moments(Phi_const + e, post_const))
-timed("forward", lambda e: obj.loss_fn(params, X + e, y)[0])
+timed("latent", lambda e: obj.latent_moments(Phi_const + e, post_const,
+                                             mm_precision=MP))
+timed("forward", lambda e: obj.loss_fn(params, X + e, y,
+                                       mm_precision=MP)[0])
 # probe the UPDATED PARAMS (not the cost) so the backward pass + optimizer
 # update cannot be dead-code-eliminated: probing cost alone measured
 # forward-only (step == forward in the first run of this script).

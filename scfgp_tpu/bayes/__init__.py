@@ -11,5 +11,6 @@ from .tempering import (tempered_hmc_sample, tempered_hmc_sample_segmented,
 from .diagnostics import (split_rhat, ess_bulk, ess_tail, ess_mean,
                           diagnose, Diagnostics)
 from .sgld import (sgld_sample, make_minibatch_value_and_grad, SGLDResult)
-from .segmented import (hmc_sample_segmented, nuts_sample_static_segmented,
+from .segmented import (hmc_sample_segmented, nuts_sample_segmented,
+                        nuts_sample_static_segmented,
                         sgld_sample_segmented)

@@ -270,8 +270,16 @@ def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
                 key: jax.Array, num_warmup: int = 500,
                 num_samples: int = 500, max_depth: int = 8,
                 init_step_size: float = 0.01,
-                target_accept: float = 0.8) -> NUTSResult:
-    """Run C chains of NUTS with shared cross-chain warmup adaptation."""
+                target_accept: float = 0.8, adapted=None,
+                warmup_state=None) -> NUTSResult:
+    """Run C chains of NUTS with shared cross-chain warmup adaptation.
+
+    ``adapted=(step_size, inv_mass)`` / ``warmup_state=(da, wf)``: the
+    bounded-execution continuation contract shared by every sampler in the
+    family (``hmc.hmc_sample`` docstring) — ``nuts_sample_segmented``
+    (bayes/segmented.py) uses it to run long DYNAMIC-NUTS budgets as a
+    host loop of bounded XLA executions on relays that kill >~100 s
+    programs (round-4 VERDICT weak #7)."""
     C, P = init_positions.shape
     vg = jax.value_and_grad(logdensity_fn)
 
@@ -292,14 +300,23 @@ def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
 
     dtype = init_positions.dtype
     keys = jax.random.split(key, num_warmup + num_samples + 1)
-    wf0 = welford_init(P, dtype)
-    wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
-    (q, da, wf), _ = jax.lax.scan(
-        warmup_step, (init_positions, da_init(init_step_size, dtype), wf0),
-        keys[:num_warmup])
-
-    eps = jnp.exp(da.log_eps_avg)
-    inv_mass = welford_variance(wf)
+    out_warmup_state = None
+    if adapted is not None:
+        q = init_positions
+        eps = jnp.asarray(adapted[0], dtype)
+        inv_mass = jnp.asarray(adapted[1], dtype)
+    else:
+        if warmup_state is not None:
+            da0, wf0 = warmup_state
+        else:
+            da0 = da_init(init_step_size, dtype)
+            wf0 = welford_init(P, dtype)
+            wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
+        (q, da, wf), _ = jax.lax.scan(
+            warmup_step, (init_positions, da0, wf0), keys[:num_warmup])
+        out_warmup_state = (da, wf)
+        eps = jnp.exp(da.log_eps_avg)
+        inv_mass = welford_variance(wf)
 
     def sample_step(q, key):
         q, ld, acc, depth, div = transition_all(q, key, eps, inv_mass)
@@ -311,7 +328,8 @@ def nuts_sample(logdensity_fn: Callable, init_positions: jax.Array,
     return NUTSResult(samples=samples, logdensities=lds,
                       accept_rate=jnp.mean(accs), step_size=eps,
                       inv_mass=inv_mass, mean_depth=jnp.mean(depths),
-                      divergences=jnp.sum(divs))
+                      divergences=jnp.sum(divs),
+                      final_positions=q, warmup_state=out_warmup_state)
 
 
 def nuts_sample_host_looped(logdensity_fn: Callable,
@@ -460,7 +478,8 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
                        num_samples: int = 500, depth: int = 6,
                        init_step_size: float = 0.01,
                        target_accept: float = 0.8, adapted=None,
-                       warmup_state=None) -> NUTSResult:
+                       warmup_state=None,
+                       shared_adaptation: bool = True) -> NUTSResult:
     """Fixed-budget multinomial sampler, fully fused (scan of scans).
 
     Same warmup adaptation as ``nuts_sample`` (cross-chain dual averaging +
@@ -471,23 +490,43 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
     that the remote TPU compiler already handles (docs/RESULTS.md).
 
     ``adapted=(step_size, inv_mass)`` / ``warmup_state=(da, wf)``: bounded-
-    execution continuation, same contract as ``hmc.hmc_sample``."""
+    execution continuation, same contract as ``hmc.hmc_sample``.
+
+    ``shared_adaptation=False`` adapts PER-CHAIN step sizes and masses —
+    the many-random-init fleet mode (``hmc.hmc_sample`` docstring: one
+    shared (eps, mass) collapses when basins have different curvature
+    scales; measured on the dim-1163 posterior).  ``step_size`` is then
+    (C,), ``inv_mass`` (C, P); the continuation contract is unchanged."""
     C, P = init_positions.shape
     vg = jax.value_and_grad(logdensity_fn)
 
     def transition_all(q, key, eps, inv_mass):
+        # eps/inv_mass broadcast: scalar + (P,) in shared mode, (C,) +
+        # (C, P) in fleet mode — each chain's transition sees its own.
         keys = jax.random.split(key, C)
+        eps_b = jnp.broadcast_to(eps, (C,))
+        im_b = jnp.broadcast_to(inv_mass, (C, P))
         return jax.vmap(
-            lambda z, k: _static_transition(vg, z, k, eps, inv_mass, depth)
-        )(q, keys)
+            lambda z, k, e, im: _static_transition(vg, z, k, e, im, depth)
+        )(q, keys, eps_b, im_b)
+
+    da_up = (da_update if shared_adaptation
+             else jax.vmap(lambda st, a: da_update(st, a,
+                                                   target=target_accept)))
+    wf_var = (welford_variance if shared_adaptation
+              else jax.vmap(welford_variance))
 
     def warmup_step(carry, key):
         q, da, wf = carry
         eps = jnp.exp(da.log_eps)
-        inv_mass = welford_variance(wf)
+        inv_mass = wf_var(wf)
         q, ld, acc, _ = transition_all(q, key, eps, inv_mass)
-        da = da_update(da, jnp.mean(acc), target=target_accept)
-        wf = welford_add_batch(wf, q)
+        if shared_adaptation:
+            da = da_update(da, jnp.mean(acc), target=target_accept)
+            wf = welford_add_batch(wf, q)
+        else:
+            da = da_up(da, acc)
+            wf = jax.vmap(welford_add_batch)(wf, q[:, None, :])
         return (q, da, wf), None
 
     dtype = init_positions.dtype
@@ -504,11 +543,16 @@ def nuts_sample_static(logdensity_fn: Callable, init_positions: jax.Array,
             da0 = da_init(init_step_size, dtype)
             wf0 = welford_init(P, dtype)
             wf0 = WelfordState(wf0.count, wf0.mean, wf0.m2 + 1.0)
+            if not shared_adaptation:
+                da0 = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (C,) + x.shape), da0)
+                wf0 = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (C,) + x.shape), wf0)
         (q, da, wf), _ = jax.lax.scan(
             warmup_step, (init_positions, da0, wf0), keys[:num_warmup])
         out_warmup_state = (da, wf)
         eps = jnp.exp(da.log_eps_avg)
-        inv_mass = welford_variance(wf)
+        inv_mass = wf_var(wf)
 
     def sample_step(q, key):
         q, ld, acc, div = transition_all(q, key, eps, inv_mass)

@@ -26,7 +26,8 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
                       streaming_block: int = 0,
                       basis_fn=None,
                       n_scale: int | None = None,
-                      mm_dtype=None):
+                      mm_dtype=None,
+                      mm_precision=None):
     """log p(theta | data) up to a constant: -(nlml + penalty)/2.
 
     The reference's training cost is (nlml + penalty)/N (``reference:
@@ -60,6 +61,11 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
     (the MH correction uses the same approximate density, so the chain is
     exact for the bf16-GEMM posterior, not the f32 one).  Dense path
     only; ignored under ``streaming_block``.
+
+    ``mm_precision="default"`` is the gentler per-fit speed lever (1-pass
+    MXU f32 on the same two GEMMs — ops/dispatch.py): the chain is exact
+    for the 1-pass posterior, the arithmetic every pre-round-4 benchmark
+    certification ran under.  Dense path only.
     """
     n = X.shape[0] if n_scale is None else int(n_scale)
 
@@ -72,7 +78,7 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
     else:
         def cost_of(p):
             return loss_fn(p, X, y, basis_fn=basis_fn,
-                           mm_dtype=mm_dtype)[0]
+                           mm_dtype=mm_dtype, mm_precision=mm_precision)[0]
 
     if include_phases:
         def logpost(theta):

@@ -69,7 +69,8 @@ class SGLDResult(NamedTuple):
 def make_minibatch_value_and_grad(X, y, D, S, M, batch_size: int,
                                   basis_fn=None,
                                   streaming_block: int = 0,
-                                  mm_dtype=None) -> Callable:
+                                  mm_dtype=None,
+                                  mm_precision=None) -> Callable:
     """Build ``(q, key) -> (vals, grads)`` over (C, P) positions.
 
     ``batch_size > 0``: per call, draw B row indices uniformly with
@@ -86,12 +87,14 @@ def make_minibatch_value_and_grad(X, y, D, S, M, batch_size: int,
             idx = jax.random.randint(key, (int(batch_size),), 0, n)
             Xb, yb = X[idx], y[idx]
             lp = make_logposterior(Xb, yb, D, S, M, basis_fn=basis_fn,
-                                   n_scale=n, mm_dtype=mm_dtype)
+                                   n_scale=n, mm_dtype=mm_dtype,
+                                   mm_precision=mm_precision)
             return jax.vmap(jax.value_and_grad(lp))(q)
     else:
         lp = make_logposterior(X, y, D, S, M, basis_fn=basis_fn,
                                streaming_block=streaming_block,
-                               mm_dtype=mm_dtype)
+                               mm_dtype=mm_dtype,
+                               mm_precision=mm_precision)
 
         def value_and_grad(q, key):
             del key

@@ -297,6 +297,8 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
                                   num_integration_steps: int = 16,
                                   init_step_size: float = 0.01,
                                   target_accept: float = 0.8,
+                                  init_all_rungs=None,
+                                  adapted=None, step_offset: int = 0,
                                   jit: bool = True) -> TemperedHMCResult:
     """Long tempered runs as a host loop of bounded XLA executions.
 
@@ -315,7 +317,13 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
     of adaptation state is carried exactly, and the global step index
     (hence the DEO swap parity) is threaded across boundaries via
     ``step_offset`` — the only difference in law from one long scan is
-    where the RNG keys split."""
+    where the RNG keys split.
+
+    Continuation (persisted-adaptation reuse, ``SCFGP.fit_bayes``): pass
+    ``init_all_rungs`` (T, C, P), ``adapted=(step_sizes, inv_mass)`` and
+    the prior run's total ``step_offset`` — the warmup stage is skipped
+    entirely and sampling segments continue the chain exactly (same
+    contract as ``tempered_hmc_sample``'s own continuation args)."""
     import numpy as np
 
     n_seg = -(-num_samples // segment)
@@ -345,24 +353,31 @@ def tempered_hmc_sample_segmented(logdensity_fn: Callable,
             warm_progs[(n, st is None)] = prog
         return prog(qa, k, b, st, off)
 
-    q_all = None
-    state = None
-    off = 0
-    rw = None
-    for i, n in enumerate(warm_sizes):
-        rw = warm_chunk(q_all, jax.random.fold_in(key, 1000 + i), betas,
-                        state, jnp.asarray(off, jnp.int32), n)
-        q_all = rw.final_positions
-        state = rw.warmup_state
-        np.asarray(q_all)  # host readback bounds the execution
-        off += n
-    if rw is not None:
-        eps, im = rw.step_sizes, rw.inv_mass
-    else:  # num_warmup == 0: init_step_size + unit mass, like one-shot
-        rw = warm_chunk(None, jax.random.fold_in(key, 999), betas, None,
-                        jnp.asarray(0, jnp.int32), 0)
-        q_all = rw.final_positions
-        eps, im = rw.step_sizes, rw.inv_mass
+    if adapted is not None:
+        # Continuation: skip warmup entirely — positions + per-rung
+        # (eps, mass) come from a previous run's result/cache.
+        q_all = jnp.asarray(init_all_rungs)
+        eps, im = adapted
+        off = int(step_offset)
+    else:
+        q_all = init_all_rungs
+        state = None
+        off = int(step_offset)
+        rw = None
+        for i, n in enumerate(warm_sizes):
+            rw = warm_chunk(q_all, jax.random.fold_in(key, 1000 + i), betas,
+                            state, jnp.asarray(off, jnp.int32), n)
+            q_all = rw.final_positions
+            state = rw.warmup_state
+            np.asarray(q_all)  # host readback bounds the execution
+            off += n
+        if rw is not None:
+            eps, im = rw.step_sizes, rw.inv_mass
+        else:  # num_warmup == 0: init_step_size + unit mass, like one-shot
+            rw = warm_chunk(None, jax.random.fold_in(key, 999), betas, None,
+                            jnp.asarray(0, jnp.int32), 0)
+            q_all = rw.final_positions
+            eps, im = rw.step_sizes, rw.inv_mass
 
     # -- sampling segments with adaptation frozen ---------------------------
     cont = wrap(

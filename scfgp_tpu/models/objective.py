@@ -139,7 +139,8 @@ def _rp_dot_bwd(mm_dtype, res, g):
 _rp_dot.defvjp(_rp_dot_fwd, _rp_dot_bwd)
 
 
-def _gemm(a: jax.Array, b: jax.Array, mm_dtype=None) -> jax.Array:
+def _gemm(a: jax.Array, b: jax.Array, mm_dtype=None,
+          mm_precision=None) -> jax.Array:
     """GEMM with optional reduced-precision MXU inputs, f32 accumulation.
 
     ``mm_dtype=jnp.bfloat16`` feeds the MXU its native input type while
@@ -150,29 +151,40 @@ def _gemm(a: jax.Array, b: jax.Array, mm_dtype=None) -> jax.Array:
     precision (bf16 rounding of the phase argument would inject O(1e-2)
     feature noise, while Gram/variance entries degrade gracefully; measured
     accuracy impact documented in docs/DESIGN.md).
+
+    ``mm_precision`` ("default" | "high" | "highest" | None = inherit the
+    global matmul precision) sets the MXU PASS COUNT for full-width inputs:
+    'default' lowers an f32 dot to ONE bf16 pass (the pre-round-4 global
+    arithmetic every benchmark floor was certified under), 'highest' to the
+    6-pass true-f32 sum.  The dot's transpose rule carries the same
+    precision attribute, so the backward GEMMs follow automatically.  Only
+    these two O(N K^2) GEMMs are dispatched — everything else in the step
+    (projection, GEMVs, Cholesky solve chain) keeps the global 'highest'
+    (ops/dispatch.py::resolve_mm_precision rationale).
     """
     if mm_dtype is None:
         # Sub-f32 inputs (phi_dtype=bf16 features) still accumulate — and
         # return — f32: the Gram feeds a Cholesky.
         acc = a.dtype if jnp.finfo(a.dtype).bits >= 32 else jnp.float32
-        return jnp.dot(a, b, preferred_element_type=acc)
+        return jnp.dot(a, b, preferred_element_type=acc,
+                       precision=mm_precision)
     return _rp_dot(mm_dtype, a, b)
 
 
 def sufficient_stats(Phi: jax.Array, y: jax.Array,
                      w: Optional[jax.Array] = None,
-                     mm_dtype=None) -> SufficientStats:
+                     mm_dtype=None, mm_precision=None) -> SufficientStats:
     """Accumulate the row-sum statistics (optionally weighted for padding)."""
     y = y.reshape(-1)
     if w is None:
-        phiTphi = _gemm(Phi.T, Phi, mm_dtype)
+        phiTphi = _gemm(Phi.T, Phi, mm_dtype, mm_precision)
         phiTy = Phi.T @ y
         yTy = jnp.sum(y * y)
         n = jnp.asarray(Phi.shape[0], Phi.dtype)
     else:
         w = w.reshape(-1).astype(Phi.dtype)
         Phiw = Phi * w[:, None]
-        phiTphi = _gemm(Phi.T, Phiw, mm_dtype)
+        phiTphi = _gemm(Phi.T, Phiw, mm_dtype, mm_precision)
         phiTy = Phi.T @ (w * y)
         yTy = jnp.sum(w * y * y)
         n = jnp.sum(w)
@@ -258,14 +270,15 @@ def solve_posterior(stats: SufficientStats, sig2_n: jax.Array,
                      log_diag_L=jnp.log(jnp.diagonal(L)))
 
 
-def latent_moments(Phi: jax.Array, post: Posterior, mm_dtype=None):
+def latent_moments(Phi: jax.Array, post: Posterior, mm_dtype=None,
+                   mm_precision=None):
     """Per-row posterior mean and variance of the latent f (SCFGP.py:111-112).
 
     ``var_f = rowsum((Phi @ Li^T)^2)`` — a GEMM against the small Li, MXU-
     friendly, instead of an N-sized triangular solve.
     """
     mu_f = Phi @ post.alpha
-    PhiLiT = _gemm(Phi, post.Li.T, mm_dtype)
+    PhiLiT = _gemm(Phi, post.Li.T, mm_dtype, mm_precision)
     var_f = jnp.sum(PhiLiT * PhiLiT, axis=1)
     return mu_f, var_f
 
@@ -312,7 +325,8 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
             axis_name: Optional[str] = None,
             feature_impl: str = "xla",
             basis_fn=None,
-            mm_dtype=None):
+            mm_dtype=None,
+            mm_precision=None):
     """Full SCFGP training objective: ``cost = (nlml + penalty) / N``.
 
     Mirrors ``SCFGP.py:92-128`` term by term (including the reference's
@@ -325,7 +339,9 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
 
     ``mm_dtype=jnp.bfloat16`` runs the two O(N K^2) GEMMs (Gram, latent
     variance) with bf16 MXU inputs + f32 accumulation — ~2x MXU rate on v5e
-    at a small, measured accuracy cost (see ``_gemm``).
+    at a small, measured accuracy cost (see ``_gemm``).  ``mm_precision``
+    sets those GEMMs' MXU pass count for f32 inputs instead ('default' =
+    1-pass, the quality-gated per-fit speed lever — ops/dispatch.py).
 
     Returns ``(cost, LossAux)``; use with ``jax.value_and_grad(..., has_aux=True)``.
     """
@@ -340,12 +356,14 @@ def loss_fn(p: SCFGPParams, X: jax.Array, y: jax.Array,
         # space posterior handles them like any other feature; the nlml's
         # M-dependent terms keep the reference definitions.
         Phi = jnp.concatenate([Phi, basis_fn(X).astype(Phi.dtype)], axis=1)
-    stats = sufficient_stats(Phi, y, w, mm_dtype=mm_dtype)
+    stats = sufficient_stats(Phi, y, w, mm_dtype=mm_dtype,
+                             mm_precision=mm_precision)
     if axis_name is not None:
         stats = psum_stats(stats, axis_name)
     post = solve_posterior(stats, sig2_n, mm_dtype=mm_dtype)
 
-    mu_f, var_f = latent_moments(Phi, post, mm_dtype=mm_dtype)
+    mu_f, var_f = latent_moments(Phi, post, mm_dtype=mm_dtype,
+                                 mm_precision=mm_precision)
     enll_rows = expected_nll_rows(mu_f, var_f, y, noise)
     if w is not None:
         enll_rows = enll_rows * w.reshape(-1).astype(enll_rows.dtype)

@@ -382,6 +382,53 @@ def test_tempered_segmented_continues_the_chain():
         atol=float(4 * np.sqrt(np.max(np.diag(COV)) / 15)))
 
 
+def test_fit_bayes_tempered_reuses_adaptation(monkeypatch):
+    """VERDICT r4 item 7: a second tempered fit_bayes on the same
+    data/config must skip BOTH the ladder-building probe and the warmup
+    stage, continuing the chain from the persisted adaptation."""
+    import warnings
+
+    from scfgp_tpu import SCFGP
+
+    rng = np.random.RandomState(5)
+    X = rng.rand(150, 1) * 10
+    y = np.sin(X[:, 0]) + 0.1 * rng.randn(150)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m.fit_bayes(X, y, sampler="tempered", chains=2, num_warmup=20,
+                    num_samples=15, segment=-1)
+    assert len(m._bayes_adaptation) == 1
+    e1 = {k: (v.copy() if hasattr(v, "copy") else v)
+          for k, v in next(iter(m._bayes_adaptation.values())).items()}
+    assert e1["steps_done"] == 35
+
+    # Any ladder rebuild on the second call is a bug.
+    import scfgp_tpu.bayes.tempering as tp
+
+    def boom(*a, **k):
+        raise AssertionError("ladder rebuilt despite persisted adaptation")
+
+    monkeypatch.setattr(tp, "energy_matched_ladder", boom)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m.fit_bayes(X, y, sampler="tempered", chains=2, num_warmup=20,
+                    num_samples=15, segment=-1)
+    e2 = next(iter(m._bayes_adaptation.values()))
+    np.testing.assert_array_equal(e2["betas"], e1["betas"])
+    np.testing.assert_array_equal(e2["eps"], e1["eps"])  # frozen adaptation
+    assert e2["steps_done"] == 35 + 15      # warmup zeroed: continuation
+    assert m.bayes_result.warmup_state is None  # no warmup scan ran
+    assert not np.array_equal(e2["positions"], e1["positions"])
+    assert np.isfinite(np.asarray(m.bayes_result.samples)).all()
+    # Different chain count = cache miss = (attempted) fresh adaptation.
+    with pytest.raises(AssertionError, match="ladder rebuilt"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            m.fit_bayes(X, y, sampler="tempered", chains=3, num_warmup=10,
+                        num_samples=5, segment=-1)
+
+
 def test_leapfrog_zero_steps_is_identity():
     """num_steps=0 must degrade to the identity trajectory with the initial
     log density (ADVICE r3: the scan-output indexing raised IndexError)."""
@@ -461,5 +508,40 @@ def test_hmc_per_chain_adaptation_fleet_mode():
                       num_warmup=0, num_samples=50,
                       num_integration_steps=8,
                       adapted=(res.step_size, res.inv_mass))
+    assert res2.samples.shape == (50, C, 3)
+    assert np.isfinite(np.asarray(res2.samples)).all()
+
+
+def test_nuts_static_per_chain_adaptation_fleet_mode():
+    """Round-5 (VERDICT r4 weak #7): the NUTS fleet — static NUTS with
+    shared_adaptation=False — mirrors HMC's per-chain adaptation: (C,)
+    step sizes, (C, P) masses, per-chain curvature discovered, and the
+    continuation contract intact."""
+    from scfgp_tpu.bayes import nuts_sample_static
+
+    def lp(x):
+        sig2 = jnp.asarray([0.01, 1.0, 100.0], x.dtype)
+        return -0.5 * jnp.sum(x * x / sig2)
+
+    C = 6
+    rng = np.random.RandomState(1)
+    init = jnp.asarray(rng.randn(C, 3) * np.array([0.1, 1.0, 10.0]),
+                       jnp.float32)
+    res = nuts_sample_static(lp, init, jax.random.PRNGKey(0),
+                             num_warmup=400, num_samples=800, depth=3,
+                             init_step_size=0.05,
+                             shared_adaptation=False)
+    assert res.step_size.shape == (C,)
+    assert res.inv_mass.shape == (C, 3)
+    assert float(res.accept_rate) > 0.6
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    norm_mean = draws.mean(0) / np.sqrt(np.array([0.01, 1.0, 100.0]))
+    np.testing.assert_allclose(norm_mean, np.zeros(3), atol=0.4)
+    im = np.asarray(res.inv_mass)
+    assert (im[:, 2] / im[:, 0] > 30).all(), im
+    res2 = nuts_sample_static(lp, res.final_positions,
+                              jax.random.PRNGKey(1), num_warmup=0,
+                              num_samples=50, depth=3,
+                              adapted=(res.step_size, res.inv_mass))
     assert res2.samples.shape == (50, C, 3)
     assert np.isfinite(np.asarray(res2.samples)).all()

