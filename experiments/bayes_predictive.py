@@ -15,6 +15,21 @@ strategy, not capacity):
             posterior mixing
   tempered  fit_bayes(sampler="tempered") — replica-exchange, cross-basin
   sgld      fit_bayes(sampler="sgld", chain_init="map") — Langevin
+  fleet     fit_bayes(sampler="hmc", chains=32, shared_adaptation=False)
+            — the PRODUCTION random-init fleet recipe (round-4 probe
+            result promoted into the multi-seed campaign, VERDICT r4
+            item 4)
+  ens_init  fit_bayes(chain_init="ensemble") — chains warm-started at
+            distinct fit_ensemble basins (+jitter): the direct test of
+            whether sampling adds mass on top of the tournament's basins
+            (boston question, VERDICT r4 item 5; boston + kin8nm only)
+
+Every Bayes arm reports BOTH the reference-faithful predictive and the
+``predict_bayes(recalibrate=True)`` per-draw-recalibrated one
+(``*_recal`` columns) — the shipped flag that closes the co2 dispersion
+inflation documents its effect in the headline table instead of only in a
+pin test (VERDICT r4 item 4).  Fits run under the round-5 shipped
+arithmetic (quality-gated mm_precision dispatch).
 
 MC error bars for the Bayes arms come from CHAIN bootstrap: per-chain
 predictive moments (mu_c, var_c) are exact sub-mixtures, so a bootstrap
@@ -61,10 +76,12 @@ DATASETS = {
     "boston": dict(S=20, M=50, ens=dict(k=16, mix_best=8),
                    opt=dict(max_iter=500, cvrg_tol=1e-5, max_cvrg=18)),
     "abalone": dict(S=20, M=64, ens=dict(k=8, mix_best=4),
+                    skip_arms=("ens_init",),
                     opt=dict(max_iter=500, cvrg_tol=1e-5, max_cvrg=18)),
     "kin8nm": dict(S=20, M=50, ens=dict(k=8, mix_best=4),
                    opt=dict(max_iter=500, cvrg_tol=1e-5, max_cvrg=18)),
     "co2": dict(S=10, M=20, ens=dict(k=8, mix_best=4), co2=True,
+                skip_arms=("ens_init",),
                 opt=dict(max_iter=1000, cvrg_tol=1e-5, max_cvrg=60,
                          obj="cost",
                          algo={"algo": "adamax",
@@ -83,7 +100,22 @@ BAYES = {
     "sgld": dict(sampler="sgld", chains=8, num_warmup=2000,
                  num_samples=500, thin=4, init_step_size=1e-5,
                  chain_init="map", map_iters=300),
+    # The production fleet recipe (kin8nm_probe.json, promoted to the
+    # multi-seed campaign): many random inits, per-chain adaptation.
+    "fleet": dict(sampler="hmc", chains=32, num_warmup=300,
+                  num_samples=300, num_integration_steps=16,
+                  init_step_size=0.003, shared_adaptation=False),
+    # Ensemble-basin warm starts (+ per-chain jitter): sampling on top of
+    # the tournament's own basins (boston + kin8nm; VERDICT r4 item 5).
+    "ens_init": dict(sampler="hmc", chains=16, num_warmup=300,
+                     num_samples=300, num_integration_steps=16,
+                     init_step_size=0.003, chain_init="ensemble",
+                     map_iters=300, shared_adaptation=False),
 }
+
+
+# Bump to invalidate crash-resume state from earlier rounds' campaigns.
+CAMPAIGN = "r05"
 
 
 def _loader(name):
@@ -197,6 +229,8 @@ def run_dataset(name, seeds, quick=False, verbose=True):
 
         # -- bayes arms ---------------------------------------------------
         for arm, bkw in BAYES.items():
+            if arm in cfg.get("skip_arms", ()):
+                continue
             bkw = dict(bkw)
             if quick:
                 bkw.update(num_warmup=min(bkw["num_warmup"], 60),
@@ -220,10 +254,18 @@ def run_dataset(name, seeds, quick=False, verbose=True):
             wall = time.time() - t0
             mu, std = m.predict_bayes(Xv)
             mets = _metrics(mu, std, ys)
+            # The shipped dispersion cure, in the headline table: per-draw
+            # recalibrated predictive alongside the reference-faithful one
+            # (VERDICT r4 item 4 — point predictions are identical, only
+            # the predictive variance changes).
+            mu_r, std_r = m.predict_bayes(Xv, recalibrate=True)
+            mets_r = _metrics(mu_r, std_r, ys)
             d = m.bayes_diagnostics
             boot = _chain_bootstrap(m, Xv, yv,
                                     n_boot=10 if quick else 200, seed=seed)
             record(arm, mets, wall, {
+                "NMSE_recal": mets_r["NMSE"],
+                "MNLP_recal": mets_r["MNLP"],
                 "mc_std_NMSE": boot["NMSE"]["mc_std"],
                 "mc_std_MNLP": boot["MNLP"]["mc_std"],
                 "max_rhat": float(d.max_rhat),
@@ -243,7 +285,10 @@ def summarize(rows):
     out = {}
     for a in arms:
         out[a] = {}
-        for k in ("NMSE", "MNLP", "RMSE", "wall_s"):
+        for k in ("NMSE", "MNLP", "RMSE", "wall_s", "NMSE_recal",
+                  "MNLP_recal"):
+            if k not in rows[0]["arms"][a]:
+                continue
             vals = [r["arms"][a][k] for r in rows]
             out[a][k] = {"mean": float(np.mean(vals)),
                          "std": float(np.std(vals))}
@@ -273,14 +318,17 @@ def main():
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results", "bayes_predictive")
     os.makedirs(out, exist_ok=True)
-    outpath = os.path.join(out, "results.json")
+    # tiny smoke runs must never clobber the committed campaign artifact
+    outpath = os.path.join(out, "results_tiny.json" if args.tiny
+                           else "results.json")
     results = {}
     # Crash-resume: a TPU-worker fault mid-campaign keeps finished datasets.
     if os.path.exists(outpath) and not args.tiny:
         try:
             with open(outpath) as f:
                 prev = json.load(f)
-            if prev.get("quick") == args.quick:
+            if (prev.get("quick") == args.quick
+                    and prev.get("campaign") == CAMPAIGN):
                 results = prev.get("results", {})
                 if results:
                     print("resuming; have:", sorted(results), flush=True)
@@ -300,6 +348,11 @@ def main():
                   flush=True)
         import jax
         payload = {"backend": jax.default_backend(), "quick": args.quick,
+                   "campaign": CAMPAIGN,
+                   "arithmetic": ("r05 quality-gated mm_precision dispatch"
+                                  " (1-pass MXU GEMMs for non-composite"
+                                  " fits, true f32 for the co2 composite;"
+                                  " ops/dispatch.py)"),
                    "bayes_budgets": BAYES,
                    "dataset_configs": {k: {kk: vv for kk, vv in v.items()
                                            if kk != "co2"}

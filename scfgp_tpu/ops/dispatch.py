@@ -101,16 +101,37 @@ def resolve_mm_dtype(mm_dtype, n_rows: int, two_k: int,
 # at a measured 1.4-2.8x step-time tax on EVERY fit
 # (results/precision_matrix.json: 744 vs 1467+ evals/s at the bench cell).
 #
-# The quality evidence localizes the need to the composite class: every
-# round-1..3 benchmark floor certification (boston/abalone/kin8nm/plain-co2)
-# was measured UNDER the 1-pass lowering and landed in the reference bands
-# (results/*/results.json provenance), and round 5's controlled per-benchmark
-# matrix (results/precision_quality.json) re-certifies quality under the
-# per-fit dispatch.  So 'auto' hands the objective's two big GEMMs 1-pass
-# precision for ordinary models and keeps 6-pass true f32 for composite
-# (extra_basis) models; the global import-time default stays 'highest' so
-# everything OUTSIDE the dispatched fits (Cholesky-adjacent small dots,
-# user code, prediction) remains honest f32.
+# The round-5 controlled matrix (results/precision_quality.json, one TPU
+# session, same seeds/splits per leg) certifies the gate:
+#
+#   quality (5 trials, mean NMSE, 'default' minus 'highest'):
+#     boston  -0.010 (std 0.043)   abalone -0.0002   kin8nm -0.004
+#     -> 1-pass is quality-NEUTRAL on every benchmark class (deltas inside
+#        one trial-std, sign favors default as often as not);
+#   co2 composite (floor NMSE 2.3e-4):
+#     raw basis + highest      at floor (1.0028x)
+#     raw basis + default      NaN cholesky (the round-4 failure)
+#     ORTHONORMALIZED + highest  at floor (1.0029x — QR is quality-neutral)
+#     ORTHONORMALIZED + default  fits garbage (NMSE 0.98, no NaN)
+#     -> ROOT CAUSE: not (only) conditioning — the composite's achievable
+#        floor is ~3.5 decimal digits below signal variance, and 1-pass
+#        bf16-rounded Gram inputs cannot resolve it no matter how the
+#        basis is conditioned.  Composite models REQUIRE true f32; the
+#        extra_basis gate is load-bearing, not precautionary.  (The same
+#        holds for any fit whose target NMSE is <~1e-3: set
+#        mm_precision=None/'highest' explicitly there.)
+#   speed (bench cell, same session): per-dot 'default' 982.6 evals/s vs
+#     global-'highest' 578.5 -> 1.70x shipped; global-'default' context
+#     1101.9 (the remaining ~11% sits in the precision-SENSITIVE
+#     solve-path GEMMs that stay honest by design — SURVEY §7.2 flags the
+#     Cholesky/cancellation path; backward dots inherit the forward's
+#     precision attribute, so all five O(N K^2) GEMMs are covered).
+#
+# So 'auto' hands the objective's two big GEMMs (and their VJP GEMMs)
+# 1-pass precision for ordinary models and keeps 6-pass true f32 for
+# composite (extra_basis) models; the global import-time default stays
+# 'highest' so everything OUTSIDE the dispatched fits (solve path, user
+# code, prediction) remains honest f32.
 
 _VALID_PRECISIONS = ("default", "high", "highest")
 
