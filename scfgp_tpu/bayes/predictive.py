@@ -65,7 +65,8 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
     ``mm_precision="default"`` is the gentler per-fit speed lever (1-pass
     MXU f32 on the same two GEMMs — ops/dispatch.py): the chain is exact
     for the 1-pass posterior, the arithmetic every pre-round-4 benchmark
-    certification ran under.  Dense path only.
+    certification ran under.  Honored by BOTH the dense and the
+    streaming objective (the per-block Gram/latent GEMMs).
     """
     n = X.shape[0] if n_scale is None else int(n_scale)
 
@@ -74,7 +75,8 @@ def make_logposterior(X, y, D, S, M, temperature: float = 1.0,
 
         def cost_of(p):
             return loss_fn_streaming(p, X, y, basis_fn=basis_fn,
-                                     block_size=int(streaming_block))[0]
+                                     block_size=int(streaming_block),
+                                     mm_precision=mm_precision)[0]
     else:
         def cost_of(p):
             return loss_fn(p, X, y, basis_fn=basis_fn,

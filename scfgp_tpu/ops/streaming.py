@@ -51,13 +51,21 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
                       axis_name: Optional[str] = None,
                       feature_impl: str = "xla",
                       stats_impl: str = "xla",
-                      basis_fn=None):
+                      basis_fn=None,
+                      mm_precision=None):
     """Drop-in replacement for ``loss_fn`` with O(block_size) memory.
 
     ``stats_impl='pallas'`` routes pass 1 through the fused Phi-free Gram
     kernel (``scfgp_tpu.ops.gram``) — the feature tensor never exists even
     per-block.  ``basis_fn`` appends fixed composite-model columns per block
-    (same semantics as ``loss_fn``; requires the default xla stats path)."""
+    (same semantics as ``loss_fn``; requires the default xla stats path).
+
+    ``mm_precision`` sets the per-block Gram/latent GEMMs' MXU pass count
+    exactly as in ``loss_fn`` (ops/dispatch.py) — at streaming scale the
+    O(N K^2) GEMM work dominates outright, so the 1-pass dispatch is the
+    difference between the r1-3 measured 15.8 Mrows/s class and a ~2-3x
+    slower 6-pass run.  The xla stats path only (the Pallas kernel has its
+    own arithmetic)."""
     y = y.reshape(-1)
     sig2_n = jnp.exp(2.0 * p.a)
     noise = softplus(p.c)
@@ -84,7 +92,8 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
     else:
         @jax.checkpoint
         def stats_block(p, Xi, yi, wi):
-            return sufficient_stats(features(p, Xi), yi, wi)
+            return sufficient_stats(features(p, Xi), yi, wi,
+                                    mm_precision=mm_precision)
 
     def pass1(carry, blk):
         Xi, yi, wi = blk
@@ -109,7 +118,8 @@ def loss_fn_streaming(p: SCFGPParams, X: jax.Array, y: jax.Array,
 
     @jax.checkpoint
     def enll_block(p, post, Xi, yi, wi):
-        mu_f, var_f = latent_moments(features(p, Xi), post)
+        mu_f, var_f = latent_moments(features(p, Xi), post,
+                                     mm_precision=mm_precision)
         rows = expected_nll_rows(mu_f, var_f, yi, noise)
         return jnp.sum(rows * wi)
 
