@@ -29,6 +29,14 @@ def main():
                          "TPU, fused on CPU — the fused program is too "
                          "large for some remote-compile TPU services)")
     ap.add_argument("--skip-nuts", action="store_true")
+    ap.add_argument("--mm-precision", default="default",
+                    choices=["default", "highest", "global"],
+                    help="posterior GEMM pass count: 'default' (1-pass) is "
+                         "what fit_bayes resolves for non-composite models "
+                         "— the SHIPPED sampler arithmetic since round 5 "
+                         "(ops/dispatch.py); 'highest' measures the r04 "
+                         "honest-f32 mode; 'global' leaves dots on the "
+                         "import-time global (== highest)")
     ap.add_argument("--legs", default=None,
                     help="comma-separated subset of legs to (re-)measure "
                          "(hmc,nuts,nuts_static,sgld_b256); results MERGE "
@@ -54,7 +62,8 @@ def main():
     X, y = synthetic_gp_rff(n=args.n, d=D, s=S, m=M, noise_std=0.1, seed=0,
                             dtype=np.float32)
     Xt, yt = jnp.asarray(X), jnp.asarray(y)
-    logpost = make_logposterior(Xt, yt, D, S, M)
+    mp = None if args.mm_precision == "global" else args.mm_precision
+    logpost = make_logposterior(Xt, yt, D, S, M, mm_precision=mp)
     P = reduced_dim(D, S, M)
     keys = jax.random.split(jax.random.PRNGKey(0), args.chains)
     init = jnp.stack([pack_params(
@@ -102,7 +111,8 @@ def main():
     # per-step cost (B=256 of N=2048) — roughly the HMC wall budget.
     from scfgp_tpu.bayes import make_minibatch_value_and_grad, sgld_sample
     benches.append(("sgld_b256", jax.jit(lambda q, k: sgld_sample(
-        make_minibatch_value_and_grad(Xt, yt, D, S, M, 256), q, k,
+        make_minibatch_value_and_grad(Xt, yt, D, S, M, 256,
+                                      mm_precision=mp), q, k,
         num_warmup=args.warmup * 10, num_samples=args.samples * 10,
         step_size=1e-5))))
 
@@ -149,6 +159,7 @@ def main():
                             else None),
             "chains": args.chains,
             "dim": P,
+            "mm_precision": args.mm_precision,
             "first_call_s": round(compile_and_run, 1),
         }
         print(json.dumps({name: results[name]}), flush=True)
