@@ -307,6 +307,19 @@ def fit_fast_batch(models, datasets, **opt_params):
                 jnp.asarray(m.X_scaler.forward_transform(d[2]), m.dtype),
                 np.asarray(d[3]).reshape(-1, 1))
         m.min_obj_ind = -1
+    # Runtime non-finite fallback (see _precision_fallback_needed): any
+    # trial the auto 1-pass precision broke is refit solo at true f32.
+    for m, d in zip(models, datasets):
+        if m._precision_fallback_needed():
+            m._engage_precision_fallback("fit_fast_batch")
+            if not all(np.isfinite(np.asarray(l)).all()
+                       for l in jax.tree.leaves(m.params)):
+                k2 = jax.random.PRNGKey(m._rng.randint(0, 2**31 - 1))
+                m.params = init_params(k2, m.D, m.S, m.M, m.dtype)
+            if has_val:
+                m.optimize_fused(d[2], d[3], **opt_params)
+            else:
+                m.optimize_fused(**opt_params)
     return models
 
 
@@ -489,6 +502,8 @@ class SCFGP:
         self.bayes_diagnostics_wall = None  # ... and its wall clock (ESS/s)
         self._bayes_adaptation = {}  # persisted tempered (ladder, eps,
         # mass, positions) keyed by data fingerprint + config (fit_bayes)
+        self._mm_precision_auto = False  # True iff mm_precision was
+        # auto-resolved (arms the non-finite 1-pass fallback)
         self._train_state = None  # resume state (optimize docstring)
         self._fused_train_state = None  # resume state, fused path
         self._stats = None        # update_data sufficient-stats cache
@@ -548,11 +563,16 @@ class SCFGP:
         if self.mm_precision == "auto":
             # Quality-gated per-fit pass-count dispatch (round-5; VERDICT
             # r4 item 1): 1-pass MXU f32 for ordinary models, true f32 for
-            # composite extra_basis models (ops/dispatch.py).
+            # composite extra_basis models (ops/dispatch.py).  The auto
+            # flag arms the runtime non-finite fallback (see
+            # _precision_fallback_needed): configs whose Gram conditioning
+            # defeats 1-pass rounding (measured: the reference's own plain
+            # 1-D co2 config) are refit at true f32 automatically.
             from ..ops.dispatch import resolve_mm_precision
             self.mm_precision = resolve_mm_precision(
                 self.mm_precision,
                 has_extra_basis=self.extra_basis is not None)
+            self._mm_precision_auto = True
         if self.params is None:
             self.message("-" * 60, "\nInitializing SCFGP hyperparameters...")
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
@@ -756,6 +776,15 @@ class SCFGP:
             self._predict_scaled_and_log(Xv_t, yv_arr)
         self.min_obj_ind = len(self.evals["COST"][1]) - 1
         logger.close()
+        if self._precision_fallback_needed():
+            self._engage_precision_fallback("optimize")
+            if not all(np.isfinite(np.asarray(l)).all()
+                       for l in jax.tree.leaves(self.params)):
+                k2 = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
+                self.params = init_params(k2, self.D, self.S, self.M,
+                                          self.dtype)
+            args2 = {k: v for k, v in args.items() if k != "resume"}
+            return self.optimize(Xv, yv, funcs, visualizer, **args2)
         if checkpoint_path:
             self.save(checkpoint_path)
         disp = self.verbose
@@ -916,6 +945,15 @@ class SCFGP:
         # one final entry per validation metric): -1 indexes the best-params
         # entry of every series uniformly.
         self.min_obj_ind = -1
+        if self._precision_fallback_needed():
+            self._engage_precision_fallback("optimize_fused")
+            if not all(np.isfinite(np.asarray(l)).all()
+                       for l in jax.tree.leaves(self.params)):
+                k2 = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
+                self.params = init_params(k2, self.D, self.S, self.M,
+                                          self.dtype)
+            args2 = {k: v for k, v in args.items() if k != "resume"}
+            return self.optimize_fused(Xv, yv, **args2)
         return self
 
     def fit_fast(self, X, y, Xv=None, yv=None, **opt_params):
@@ -955,7 +993,11 @@ class SCFGP:
                       seed=self._rng.randint(0, 2**31 - 1),
                       dtype=self.dtype, extra_basis=self.extra_basis,
                       mm_dtype=self.mm_dtype,
-                      mm_precision=self.mm_precision)
+                      # Propagate auto-ness so members keep the runtime
+                      # non-finite 1-pass fallback armed.
+                      mm_precision=("auto" if self._mm_precision_auto
+                                    or self.mm_precision == "auto"
+                                    else self.mm_precision))
             members.append(m)
         has_val = Xv is not None and yv is not None
         data = [(X, y, Xv, yv) if has_val else (X, y)] * len(members)
@@ -1423,6 +1465,38 @@ class SCFGP:
             self.predict_bayes(Xv, yv)
             self.min_obj_ind = -1
         return self
+
+    def _precision_fallback_needed(self):
+        """True iff the just-finished fit produced a NON-FINITE objective
+        under an AUTO-resolved 1-pass precision.
+
+        The quality gate in ops/dispatch.py is per-model-class
+        (extra_basis); some configs defeat 1-pass rounding at runtime
+        through trained-noise-scale Gram conditioning instead (measured:
+        the reference's plain 1-D co2 config, S=100 m=50 — NaN cholesky
+        under 'default', NMSE 0.0157 under true f32).  The fallback refits
+        ONCE at true f32 with a warning; explicit user settings are never
+        overridden."""
+        if self.mm_precision != "default" or not self._mm_precision_auto:
+            return False
+        hist = self.evals["COST"][1]
+        bad_cost = bool(hist) and not np.isfinite(hist[-1])
+        # The restored best params can be NaN-era even when the final
+        # re-evaluation happens to be finite (and vice versa) — check both.
+        bad_params = self.params is not None and not all(
+            np.isfinite(np.asarray(l)).all()
+            for l in jax.tree.leaves(self.params))
+        return bad_cost or bad_params
+
+    def _engage_precision_fallback(self, context):
+        import warnings
+        warnings.warn(
+            "%s: non-finite objective under the auto 1-pass matmul "
+            "precision — refitting at true f32 (mm_precision=None). Pass "
+            "mm_precision explicitly to choose a fixed arithmetic "
+            "(ops/dispatch.py)." % context, stacklevel=3)
+        self.mm_precision = None
+        self._mm_precision_auto = False
 
     def _data_fingerprint(self):
         """Cheap content fingerprint of the (scaled) training data — the

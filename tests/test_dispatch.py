@@ -94,6 +94,62 @@ def test_model_mm_precision_resolves_at_set_data():
     assert m2.mm_precision is None      # opt-out: global honest f32
 
 
+def test_precision_fallback_predicate():
+    """The runtime non-finite fallback arms ONLY for auto-resolved 1-pass
+    precision — explicit user settings are never overridden (measured
+    trigger: the reference's plain 1-D co2 config NaNs under 1-pass)."""
+    rng = np.random.RandomState(4)
+    X, y = rng.rand(64, 3), rng.randn(64)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    m.set_data(X, y)
+    assert m.mm_precision == "default" and m._mm_precision_auto
+    m.evals["COST"][1] = [float("nan")]
+    assert m._precision_fallback_needed()
+    m.evals["COST"][1] = [1.25]
+    assert not m._precision_fallback_needed()
+    m2 = SCFGP(sparsity=4, nfeats=8, seed=0, mm_precision="default")
+    m2.set_data(X, y)
+    m2.evals["COST"][1] = [float("nan")]
+    assert not m2._precision_fallback_needed()  # explicit: never overridden
+
+
+def test_precision_fallback_refits_at_true_f32(monkeypatch):
+    """End-to-end: a fit whose objective goes non-finite under the auto
+    1-pass precision is refit once at true f32, with a warning."""
+    import pytest
+    import scfgp_tpu.models.model as mm
+
+    real = mm.loss_fn
+
+    def poisoned(p, X, y, *a, **kw):
+        c, aux = real(p, X, y, *a, **kw)
+        if kw.get("mm_precision") == "default":
+            c = c * float("nan")  # simulate the 1-pass NaN cholesky class
+        return c, aux
+
+    real_jl = mm._jitted_loss
+
+    def poisoned_jl(p, X, y, basis_fn=None, mm_dtype=None,
+                    mm_precision=None):
+        c, aux = real_jl(p, X, y, basis_fn=basis_fn, mm_dtype=mm_dtype,
+                         mm_precision=mm_precision)
+        if mm_precision == "default":
+            c = c * float("nan")
+        return c, aux
+
+    monkeypatch.setattr(mm, "loss_fn", poisoned)
+    monkeypatch.setattr(mm, "_jitted_loss", poisoned_jl)
+    rng = np.random.RandomState(5)
+    X = rng.rand(80, 2) * 5
+    y = np.sin(X[:, 0]) + 0.1 * rng.randn(80)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)
+    with pytest.warns(UserWarning, match="non-finite objective"):
+        m.fit(X, y, max_iter=15)
+    assert m.mm_precision is None           # fell back to true f32
+    assert not m._mm_precision_auto
+    assert np.isfinite(m.evals["COST"][1][-1])
+
+
 def test_mm_precision_loss_agrees_on_cpu():
     """CPU f32 dots are true f32 at every precision setting — the dispatch
     must be a numerical no-op here (the pass-count split exists on TPU
