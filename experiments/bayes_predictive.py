@@ -29,7 +29,10 @@ Every Bayes arm reports BOTH the reference-faithful predictive and the
 (``*_recal`` columns) — the shipped flag that closes the co2 dispersion
 inflation documents its effect in the headline table instead of only in a
 pin test (VERDICT r4 item 4).  Fits run under the round-5 shipped
-arithmetic (quality-gated mm_precision dispatch).
+arithmetic (quality-gated mm_precision dispatch); SAMPLERS run true f32
+(the r05b finding: auto 1-pass in the log-posterior collapsed every
+kin8nm Bayes arm — MH ratios exponentiate N-scaled cost differences —
+so fit_bayes keeps auto-reduced precision out of the sampling path).
 
 MC error bars for the Bayes arms come from CHAIN bootstrap: per-chain
 predictive moments (mu_c, var_c) are exact sub-mixtures, so a bootstrap
@@ -115,7 +118,7 @@ BAYES = {
 
 
 # Bump to invalidate crash-resume state from earlier rounds' campaigns.
-CAMPAIGN = "r05"
+CAMPAIGN = "r05b"
 
 
 def _loader(name):

@@ -504,6 +504,8 @@ class SCFGP:
         # mass, positions) keyed by data fingerprint + config (fit_bayes)
         self._mm_precision_auto = False  # True iff mm_precision was
         # auto-resolved (arms the non-finite 1-pass fallback)
+        self._mm_dtype_auto = False  # True iff mm_dtype was auto-resolved
+        # (auto reduced precision never applies to SAMPLERS — fit_bayes)
         self._train_state = None  # resume state (optimize docstring)
         self._fused_train_state = None  # resume state, fused path
         self._stats = None        # update_data sufficient-stats cache
@@ -560,6 +562,7 @@ class SCFGP:
             self.mm_dtype = resolve_mm_dtype(
                 self.mm_dtype, self.N, 2 * (self.S + self.M),
                 has_extra_basis=self.extra_basis is not None)
+            self._mm_dtype_auto = True
         if self.mm_precision == "auto":
             # Quality-gated per-fit pass-count dispatch (round-5; VERDICT
             # r4 item 1): 1-pass MXU f32 for ordinary models, true f32 for
@@ -1205,6 +1208,22 @@ class SCFGP:
                               has_extra_basis=has_basis)
         mp = resolve_mm_precision(self.mm_precision,
                                   has_extra_basis=has_basis)
+        if self._mm_precision_auto:
+            # SAMPLING IS NOT FITTING (round-5 measured): the MH accept
+            # ratio exponentiates N-scaled log-posterior differences, so
+            # 1-pass GEMM rounding that is quality-neutral for the
+            # OPTIMIZER (results/precision_quality.json) is O(1) jitter in
+            # the accept ratio and wrecks the fine posterior geometry —
+            # kin8nm campaign arms under auto 1-pass: tempered NMSE 0.064
+            # vs 0.026 true-f32, random-init fleet 0.093 vs 0.026, hmc
+            # degraded to the MAP (map/ensemble arms unchanged).  The
+            # AUTO-resolved precision therefore stays a fit lever only;
+            # samplers run true f32.  An EXPLICIT mm_precision/mm_dtype
+            # still applies (the documented perturbed-target trade).
+            mp = None
+        if self._mm_dtype_auto:
+            # Same argument for auto bf16 at huge-GEMM-work scales.
+            mm = None
         cfg = dict(D=self.D, S=self.S, M=self.M,
                    streaming_block=int(streaming_block),
                    basis_fn=self.extra_basis,

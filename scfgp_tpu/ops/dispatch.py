@@ -132,6 +132,18 @@ def resolve_mm_dtype(mm_dtype, n_rows: int, two_k: int,
 # composite (extra_basis) models; the global import-time default stays
 # 'highest' so everything OUTSIDE the dispatched fits (solve path, user
 # code, prediction) remains honest f32.
+#
+# Two runtime guards complete the gate (round-5 measured, the hard way):
+#   * non-finite fallback — configs whose trained-noise-scale Gram
+#     conditioning defeats 1-pass rounding (the reference's plain 1-D co2
+#     config) are refit ONCE at true f32 with a warning
+#     (model._precision_fallback_needed);
+#   * SAMPLERS ALWAYS RUN TRUE F32 under auto — MH accept ratios
+#     exponentiate N-scaled log-posterior differences, so GEMM rounding
+#     that is quality-neutral for the optimizer collapsed every kin8nm
+#     fit_bayes arm (tempered NMSE 0.064 vs 0.026, fleet 0.093 vs 0.026;
+#     map/ensemble arms unaffected).  Only an EXPLICIT mm_precision /
+#     mm_dtype reaches the sampling path (model.fit_bayes).
 
 _VALID_PRECISIONS = ("default", "high", "highest")
 

@@ -150,6 +150,43 @@ def test_precision_fallback_refits_at_true_f32(monkeypatch):
     assert np.isfinite(m.evals["COST"][1][-1])
 
 
+def test_fit_bayes_auto_precision_stays_fit_only(monkeypatch):
+    """Sampling is not fitting (round-5 measured: kin8nm Bayes arms
+    collapsed under auto 1-pass — the MH ratio exponentiates N-scaled
+    cost differences): AUTO-resolved reduced precision must never reach
+    the sampler's log-posterior; explicit settings still do."""
+    import warnings
+
+    import scfgp_tpu.models.model as mm
+
+    seen = {}
+    real = mm._bayes_runner
+
+    def spy(sampler, **cfg):
+        seen["mp"] = cfg.get("mm_precision")
+        seen["mm"] = cfg.get("mm_dtype")
+        return real(sampler, **cfg)
+
+    monkeypatch.setattr(mm, "_bayes_runner", spy)
+    rng = np.random.RandomState(6)
+    X = rng.rand(120, 1) * 10
+    y = np.sin(X[:, 0]) + 0.1 * rng.randn(120)
+    m = SCFGP(sparsity=4, nfeats=8, seed=0)  # shipped auto dispatch
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m.fit_bayes(X, y, sampler="hmc", chains=2, num_warmup=10,
+                    num_samples=10)
+    assert m.mm_precision == "default"   # fits keep the fast path
+    assert seen["mp"] is None            # the sampler ran true f32
+    assert seen["mm"] is None
+    m2 = SCFGP(sparsity=4, nfeats=8, seed=0, mm_precision="default")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m2.fit_bayes(X, y, sampler="hmc", chains=2, num_warmup=10,
+                     num_samples=10)
+    assert seen["mp"] == "default"       # explicit settings are honored
+
+
 def test_mm_precision_loss_agrees_on_cpu():
     """CPU f32 dots are true f32 at every precision setting — the dispatch
     must be a numerical no-op here (the pass-count split exists on TPU
