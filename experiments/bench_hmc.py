@@ -29,14 +29,18 @@ def main():
                          "TPU, fused on CPU — the fused program is too "
                          "large for some remote-compile TPU services)")
     ap.add_argument("--skip-nuts", action="store_true")
-    ap.add_argument("--mm-precision", default="default",
+    ap.add_argument("--mm-precision", default="global",
                     choices=["default", "highest", "global"],
-                    help="posterior GEMM pass count: 'default' (1-pass) is "
-                         "what fit_bayes resolves for non-composite models "
-                         "— the SHIPPED sampler arithmetic since round 5 "
-                         "(ops/dispatch.py); 'highest' measures the r04 "
-                         "honest-f32 mode; 'global' leaves dots on the "
-                         "import-time global (== highest)")
+                    help="posterior GEMM pass count. 'global' (the "
+                         "default) leaves dots on the import-time global "
+                         "(true f32) — the SHIPPED sampler arithmetic: "
+                         "fit_bayes strips auto-reduced precision from "
+                         "the sampling path because MH ratios "
+                         "exponentiate N-scaled cost differences "
+                         "(ops/dispatch.py).  'default' (1-pass) measures "
+                         "the explicit-opt-in speed lever's throughput; "
+                         "its quality cost is documented in "
+                         "results/bayes_predictive (r05b note)")
     ap.add_argument("--legs", default=None,
                     help="comma-separated subset of legs to (re-)measure "
                          "(hmc,nuts,nuts_static,sgld_b256); results MERGE "
